@@ -1,0 +1,68 @@
+"""Matrix-free application of the stencil operator.
+
+`apply_stencil` is the jnp reference path (XLA fuses the seven
+multiply-adds and the topology gathers into a few memory-bound passes);
+`ops/stencil_pallas.py` provides the hand-fused Pallas kernel used on the
+hot path. Both compute
+
+    y[c] = diag[c] * x[c] + sum_d coef[d][c] * x[neighbor_d(c)]
+
+which is the action of the reference's sparse T (matrixbuilding.jl) on a
+wet-masked tracer field, with land cells carrying exact zeros.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..grid.topology import DIRECTIONS, GridTopology, neighbor_values, scatter_to_neighbor
+from .coeffs import StencilCoeffs
+
+
+def apply_stencil(coeffs: StencilCoeffs, chi, topology: GridTopology):
+    """y = T @ chi on dense (nz, ny, nx) fields.
+
+    `chi` must be zero (or at least finite) on land; land outputs are
+    exact zeros because all land coefficients are zero.
+    """
+    chi = jnp.asarray(chi)
+    acc = coeffs.diag * chi
+    for d in DIRECTIONS:
+        acc = acc + coeffs[d] * neighbor_values(chi, d, topology, fill=0.0)
+    return acc
+
+
+def apply_stencil_transpose(coeffs: StencilCoeffs, chi, topology: GridTopology):
+    """y = T' @ chi (needed e.g. for the volume-conservation diagnostic
+    ||v|| / ||T' v||, reference test/online.jl:114-117).
+
+    T'[c, j] = T[j, c], so each leg scatters instead of gathers:
+    (T' x)[c] = diag[c] x[c] + sum_d sum_{j : nb_d(j) = c} coef_d[j] x[j].
+    """
+    chi = jnp.asarray(chi)
+    acc = coeffs.diag * chi
+    for d in DIRECTIONS:
+        acc = acc + scatter_to_neighbor(coeffs[d] * chi, d, topology)
+    return acc
+
+
+def operator_diagnostics(coeffs: StencilCoeffs, v3d, wet3d, topology: GridTopology):
+    """Divergence / volume-conservation timescales (seconds).
+
+    Ports the de-facto spec from the reference tests (test/online.jl:106-117):
+      tau_div = ||1|| / ||T 1||     (row sums ~ 0 for diffusive operators)
+      tau_vol = ||v|| / ||T' v||    (volume-weighted column sums ~ 0)
+    computed over wet cells with 2-norms.
+    """
+    wet = jnp.asarray(wet3d, bool)
+    nwet = jnp.sum(wet)
+
+    ones = jnp.where(wet, 1.0, 0.0).astype(coeffs.diag.dtype)
+    t_ones = apply_stencil(coeffs, ones, topology)
+    tau_div = jnp.sqrt(nwet) / jnp.linalg.norm(jnp.where(wet, t_ones, 0.0))
+
+    v = jnp.where(wet, v3d, 0.0)
+    tt_v = apply_stencil_transpose(coeffs, v, topology)
+    tau_vol = jnp.linalg.norm(v) / jnp.linalg.norm(jnp.where(wet, tt_v, 0.0))
+
+    return {"tau_div_s": tau_div, "tau_vol_s": tau_vol}
