@@ -1,0 +1,66 @@
+"""Gent-McWilliams bolus velocity from density slopes (experimental).
+
+Capability parity with the reference src/RediGM.jl:46-79: isoneutral
+slopes from vertical-face triads, slope clamping, tanh taper, and a
+vertical dyad derivative of kappa_GM * S. Like the reference, this is
+flagged experimental; it exists so Redi/GM stencils can extend the
+transport operator.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import (
+    KAPPA_GM_DEFAULT,
+    MAXSLOPE_DEFAULT,
+    SLOPE_TAPER_SC,
+    SLOPE_TAPER_SD,
+)
+from ..grid.geometry import GridMetrics
+from ..ops.derivatives import (
+    vertical_dyad_derivative,
+    vertical_face_triad_derivative,
+)
+
+
+def density_slopes(rho, gridmetrics: GridMetrics, wet3d=None):
+    """Isoneutral density slopes (S_i, S_j) via vertical-face triads
+    (reference RediGM.jl:52-53)."""
+    s_i = vertical_face_triad_derivative(rho, gridmetrics, "i", wet3d)
+    s_j = vertical_face_triad_derivative(rho, gridmetrics, "j", wet3d)
+    return s_i, s_j
+
+
+def slope_taper(s_i, s_j, sc: float = SLOPE_TAPER_SC, sd: float = SLOPE_TAPER_SD):
+    """Danabasoglu-McWilliams-style tanh taper
+    0.5 * (1 + tanh((Sc - |S|) / Sd)) (reference RediGM.jl:59-62)."""
+    return 0.5 * (1.0 + jnp.tanh((sc - jnp.sqrt(s_i**2 + s_j**2)) / sd))
+
+
+def bolus_gm_velocity(
+    rho,
+    gridmetrics: GridMetrics,
+    wet3d=None,
+    kappa_gm: float = KAPPA_GM_DEFAULT,
+    maxslope: float = MAXSLOPE_DEFAULT,
+):
+    """Bolus velocity (u, v) of the GM parameterization from the density
+    field, mirroring `bolus_GM_velocity` (RediGM.jl:46-79):
+
+      1. triad density slopes, clamped to +-maxslope;
+      2. tanh taper on the slope magnitude (Sc=0.004, Sd=0.001);
+      3. u = d/dz (kappa_GM * S_i), v = d/dz (kappa_GM * S_j) via the
+         vertical dyad derivative.
+    """
+    s_i, s_j = density_slopes(rho, gridmetrics, wet3d)
+    s_i = jnp.clip(s_i, -maxslope, maxslope)
+    s_j = jnp.clip(s_j, -maxslope, maxslope)
+
+    taper = slope_taper(s_i, s_j)
+    s_i = taper * s_i
+    s_j = taper * s_j
+
+    u = vertical_dyad_derivative(kappa_gm * s_i, gridmetrics, wet3d)
+    v = vertical_dyad_derivative(kappa_gm * s_j, gridmetrics, wet3d)
+    return u, v

@@ -1,0 +1,137 @@
+"""Time stepping and matrix-free linear solves for the transport operator.
+
+The reference's downstream workloads (test/local_full.jl:111-188) use a
+host sparse direct solve `(T_c + M_c) \\ s` (~3 min on a laptop). Here the
+operator is never materialized: implicit steps and steady states are
+solved with on-device Krylov methods (BiCGStab/GMRES — T is nonsymmetric)
+under jit, with Jacobi preconditioning from the stencil diagonal.
+
+All tracer fields are dense (nz, ny, nx) with exact zeros on land; every
+operator application preserves that invariant, so the Krylov iterations
+stay confined to the wet subspace.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.sparse.linalg import bicgstab, gmres
+
+from ..grid.topology import GridTopology
+from ..ops.apply import apply_stencil
+from ..ops.coeffs import StencilCoeffs
+
+
+@partial(jax.jit, static_argnames=("topology",))
+def explicit_euler_step(coeffs: StencilCoeffs, chi, dt, topology: GridTopology):
+    """chi - dt * T chi (forward Euler for d(chi)/dt = -T chi)."""
+    return chi - dt * apply_stencil(coeffs, chi, topology)
+
+
+@partial(jax.jit, static_argnames=("topology", "nsteps"))
+def explicit_euler_propagate(
+    coeffs: StencilCoeffs, chi, dt, nsteps: int, topology: GridTopology
+):
+    """nsteps of forward Euler as a single compiled scan."""
+
+    def body(c, _):
+        return c - dt * apply_stencil(coeffs, c, topology), None
+
+    out, _ = jax.lax.scan(body, jnp.asarray(chi), None, length=nsteps)
+    return out
+
+
+def _jacobi_preconditioner(diag):
+    """M^-1 ~ 1/diag, guarded on land where diag == 0."""
+    safe = jnp.where(diag != 0, diag, 1.0)
+    inv = jnp.where(diag != 0, 1.0 / safe, 0.0)
+    return lambda x: inv * x
+
+
+@partial(jax.jit, static_argnames=("topology", "method", "maxiter"))
+def solve_shifted(
+    coeffs: StencilCoeffs,
+    b,
+    topology: GridTopology,
+    shift=0.0,
+    extra_diag=None,
+    tol: float = 1e-10,
+    method: str = "bicgstab",
+    maxiter: int = 2000,
+):
+    """Solve (shift * I + D_extra + T) x = b matrix-free.
+
+    `shift` is a scalar (e.g. 1/dt for implicit Euler); `extra_diag` an
+    optional per-cell diagonal field (e.g. the surface restoring mask of
+    the ideal-age problem). Returns (x, residual_norm).
+    """
+    b = jnp.asarray(b)
+    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+
+    def a_op(x):
+        return shift * x + extra * x + apply_stencil(coeffs, x, topology)
+
+    precond = _jacobi_preconditioner(shift + extra + coeffs.diag)
+
+    if method == "bicgstab":
+        x, _ = bicgstab(a_op, b, tol=tol, atol=0.0, M=precond, maxiter=maxiter)
+    elif method == "gmres":
+        x, _ = gmres(
+            a_op, b, tol=tol, atol=0.0, M=precond, maxiter=maxiter,
+            restart=30, solve_method="batched",
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    res = jnp.linalg.norm(a_op(x) - b) / jnp.linalg.norm(b)
+    return x, res
+
+
+def implicit_euler_step(
+    coeffs: StencilCoeffs,
+    chi,
+    dt,
+    topology: GridTopology,
+    tol: float = 1e-10,
+    method: str = "bicgstab",
+):
+    """One implicit Euler step: solve (I + dt T) chi_next = chi.
+
+    Unconditionally stable — the TPU-native replacement for the
+    reference's implicit solves with the assembled sparse matrix.
+    """
+    chi = jnp.asarray(chi)
+    x, res = solve_shifted(
+        coeffs, chi / dt, topology, shift=1.0 / dt, tol=tol, method=method
+    )
+    return x, res
+
+
+def ideal_age(
+    coeffs: StencilCoeffs,
+    wet3d,
+    topology: GridTopology,
+    surface_rate: float = 1.0,
+    tol: float = 1e-8,
+    method: str = "bicgstab",
+):
+    """Steady-state ideal mean age Gamma (seconds), governed by
+    T Gamma = 1 - M Gamma with M a fast surface restoring mask
+    (reference test/local_full.jl:155-168):
+
+        (T + M) Gamma = 1  on wet cells,  M = surface_rate * 1_surface.
+
+    Returns (gamma3d_seconds, residual_norm). Divide by 365.25*24*3600
+    for years.
+    """
+    wet = jnp.asarray(wet3d, bool)
+    dtype = coeffs.diag.dtype
+    ones = jnp.where(wet, jnp.ones(wet.shape, dtype), 0.0)
+    surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
+    surf = jnp.where(wet, surf, 0.0)
+    gamma, res = solve_shifted(
+        coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol, method=method
+    )
+    return jnp.where(wet, gamma, jnp.nan), res

@@ -1,0 +1,121 @@
+"""LUMP/SPRAY matrix coarsening.
+
+Capability parity with the reference `lump_and_spray`
+(src/extratools.jl:38-112): block-coarsen the wet grid by (di, dj, dk),
+using the transport operator's sparsity as a connectivity graph so cells
+that are not connected (e.g. across a land bridge) are NOT lumped
+together; LUMP is made volume-conserving, SPRAY copies coarse values back.
+
+This is host-side preprocessing/analysis tooling (scipy), as the
+coarse-matrix workloads (direct solves) are host work; the TPU path uses
+the matrix-free solvers in models/solvers.py instead.
+
+Canonical layout: wet3d is (nz, ny, nx); di coarsens the i (lon) axis,
+dj the j (lat) axis, dk the k (depth) axis — matching the reference's
+(di, dj, dk) meaning on its (nx, ny, nz) arrays.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.csgraph import connected_components
+
+logger = logging.getLogger(__name__)
+
+
+def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2, dk: int = 1):
+    """Return (LUMP, SPRAY, vol_c).
+
+    * `wet3d`: (nz, ny, nx) bool.
+    * `vol`: length-N wet-cell volume vector (N = wet3d.sum(), C-order).
+    * `T`: N x N scipy sparse operator (use
+      `utils.sparse_export.coeffs_to_scipy` to get one from stencil
+      coefficients); only its sparsity pattern is used.
+    * `mask`: optional (nz, ny, nx) bool region; outside it cells are not
+      lumped (each keeps its own coarse cell), as in the reference.
+
+    To coarsen a vector: LUMP @ x. To coarsen an operator: LUMP @ T @ SPRAY.
+    """
+    wet3d = np.asarray(wet3d, bool)
+    nz, ny, nx = wet3d.shape
+    if mask is None:
+        mask = np.ones_like(wet3d)
+    else:
+        mask = np.asarray(mask, bool)
+
+    ez, ey, ex = nz + dk - 1, ny + dj - 1, nx + di - 1  # ghost-extended shape
+    lump_idx = np.zeros((ez, ey, ex), dtype=np.int64)
+
+    wet_ext = np.zeros((ez, ey, ex), dtype=bool)
+    wet_ext[:nz, :ny, :nx] = wet3d
+
+    # Wet linear index in the *extended* grid (reference extratools.jl:46-52).
+    lwet_ext = np.full((ez, ey, ex), -1, dtype=np.int64)
+    lwet_ext[wet_ext] = np.arange(int(wet_ext.sum()))
+    n = int(wet3d.sum())
+    assert n == int(wet_ext.sum())
+
+    # Connectivity pattern among wet cells from T (pattern only).
+    pattern = sp.csr_matrix(
+        (np.ones(T.nnz, dtype=bool), T.nonzero()), shape=T.shape
+    )
+    # Symmetrize so components do not depend on flow direction.
+    pattern = (pattern + pattern.T).tocsr()
+
+    next_id = 2  # 1 is reserved for dry cells (reference extratools.jl:55)
+    off_k, off_j, off_i = np.meshgrid(
+        np.arange(dk), np.arange(dj), np.arange(di), indexing="ij"
+    )
+    off_k, off_j, off_i = off_k.ravel(), off_j.ravel(), off_i.ravel()
+
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                if lump_idx[k, j, i] > 0 and mask[k, j, i]:
+                    continue  # already assigned and inside the region
+                if mask[k, j, i]:
+                    bk, bj, bi = k + off_k, j + off_j, i + off_i
+                    block_wet = wet_ext[bk, bj, bi]
+                    # dry cells in the block get the dry id
+                    lump_idx[bk[~block_wet], bj[~block_wet], bi[~block_wet]] = 1
+                    wk, wj, wi = bk[block_wet], bj[block_wet], bi[block_wet]
+                    widx = lwet_ext[wk, wj, wi]
+                    if widx.size == 0:
+                        continue
+                    local = pattern[widx][:, widx]
+                    ncomp, labels = connected_components(local, directed=False)
+                    lump_idx[wk, wj, wi] = next_id + labels
+                    next_id += ncomp
+                else:
+                    lump_idx[k, j, i] = next_id
+                    next_id += 1
+
+    # Drop ghost cells; map original cells -> lump ids
+    # (reference extratools.jl:85).
+    ids = lump_idx[:nz, :ny, :nx].ravel()
+    ncells = ids.size
+    lump_full = sp.csr_matrix(
+        (np.ones(ncells), (ids - 1, np.arange(ncells))),
+        shape=(next_id - 1, ncells),
+    )
+
+    wet = wet3d.ravel()
+    wet_c = np.asarray(lump_full @ wet.astype(float)).ravel() > 0
+    lump = lump_full[wet_c][:, wet]
+
+    vol = np.asarray(vol, dtype=np.float64).ravel()
+    vol_c = np.asarray(lump @ vol).ravel()
+    lump = sp.diags(1.0 / vol_c) @ lump @ sp.diags(vol)
+
+    spray = lump.T.tocsr().copy()
+    spray.data = np.ones_like(spray.data)
+
+    nwet_c = lump.shape[0]
+    logger.info(
+        "LUMP and SPRAY: matrix size reduction %.0f%% (%d -> %d)",
+        100 * (1 - nwet_c / n), n, nwet_c,
+    )
+    return lump.tocsr(), spray, vol_c

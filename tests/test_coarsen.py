@@ -1,0 +1,85 @@
+"""LUMP/SPRAY coarsening (reference extratools.jl:38-112 semantics)."""
+
+import numpy as np
+import pytest
+
+from otmb_tpu.grid.indices import wet_vector
+from otmb_tpu.models.transport import transportmatrix
+from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+from otmb_tpu.utils.coarsen import lump_and_spray
+from otmb_tpu.utils.sparse_export import coeffs_to_scipy
+
+
+@pytest.fixture(scope="module")
+def built(dataset, gridmetrics, indices):
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics, indices=indices
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics, indices=indices
+    )
+    mat = coeffs_to_scipy(ops.T, indices, gridmetrics.topology)
+    return ops, mat
+
+
+def test_lump_and_spray(built, gridmetrics, indices):
+    ops, mat = built
+    wet = np.asarray(indices.wet3d)
+    v = wet_vector(np.asarray(gridmetrics.v3d), indices)
+
+    lump, spray, v_c = lump_and_spray(wet, v, mat, di=2, dj=2, dk=1)
+
+    n = indices.nwet
+    n_c = lump.shape[0]
+    assert 0 < n_c < n
+    assert spray.shape == (n, n_c)
+
+    # LUMP rows are volume-weighted averages: LUMP @ ones == ones
+    ones = np.ones(n)
+    np.testing.assert_allclose(np.asarray(lump @ ones).ravel(), 1.0, rtol=1e-12)
+
+    # volume conservation: v_c == LUMP-aggregated volumes; total volume kept
+    np.testing.assert_allclose(v_c.sum(), v.sum(), rtol=1e-12)
+
+    # SPRAY scatters each coarse value to all its fine cells
+    rng = np.random.default_rng(0)
+    x_c = rng.standard_normal(n_c)
+    x = np.asarray(spray @ x_c).ravel()
+    assert set(np.round(x, 12)) <= set(np.round(x_c, 12))
+
+    # coarse operator conserves volume like the fine one:
+    # v_c' (LUMP T SPRAY) ~ 0 (within roundoff of the fine operator)
+    t_c = lump @ mat @ spray
+    resid = np.abs(v_c @ t_c).max()
+    fine_resid = np.abs(v @ mat).max()
+    assert resid < 10 * max(fine_resid, 1e-12)
+
+
+def test_lump_respects_region_mask(built, gridmetrics, indices):
+    """Outside the mask no lumping happens (each cell keeps its own coarse
+    cell), mirroring the reference's region-restricted coarsening."""
+    ops, mat = built
+    wet = np.asarray(indices.wet3d)
+    v = wet_vector(np.asarray(gridmetrics.v3d), indices)
+
+    mask = np.zeros_like(wet)
+    mask[:, : wet.shape[1] // 2, :] = True  # lump only the southern half
+
+    lump_m, spray_m, _ = lump_and_spray(wet, v, mat, mask=mask, di=2, dj=2, dk=2)
+    lump, spray, _ = lump_and_spray(wet, v, mat, di=2, dj=2, dk=2)
+
+    # unmasked coarsening lumps strictly more
+    assert lump_m.shape[0] > lump.shape[0]
+
+    # every wet cell outside the mask sits alone in its coarse cell
+    counts = np.asarray((spray_m > 0).sum(axis=0)).ravel()  # fine cells per coarse
+    outside = ~mask[wet.astype(bool)]
+    fine_to_coarse = spray_m.tocsr().indices  # since one nonzero per fine row? no
+    # simpler: rows of SPRAY have exactly one nonzero (each fine cell has
+    # one coarse parent)
+    spray_csr = spray_m.tocsr()
+    assert np.all(np.diff(spray_csr.indptr) == 1)
+    parents = spray_csr.indices
+    sizes = np.bincount(parents)
+    outside_parents = parents[outside]
+    assert np.all(sizes[outside_parents] == 1)

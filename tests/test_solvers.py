@@ -1,0 +1,87 @@
+"""Solver layer: explicit/implicit stepping and the ideal-age workload."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from otmb_tpu.grid.indices import wet_vector
+from otmb_tpu.models.solvers import (
+    explicit_euler_propagate,
+    ideal_age,
+    implicit_euler_step,
+)
+from otmb_tpu.models.transport import transportmatrix
+from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+from otmb_tpu.utils.sparse_export import coeffs_to_scipy
+
+
+@pytest.fixture(scope="module")
+def ops(dataset, gridmetrics, indices):
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics, indices=indices
+    )
+    return transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics, indices=indices
+    )
+
+
+def test_explicit_propagate_conserves_mass(ops, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(1)
+    chi = np.where(wet, 1.0 + 0.1 * rng.standard_normal(gridmetrics.shape), 0.0)
+    v = np.where(wet, np.asarray(gridmetrics.v3d), 0.0)
+    dt = 0.25 / float(np.abs(np.asarray(ops.T.diag)).max())
+
+    out = np.asarray(
+        explicit_euler_propagate(ops.T, chi, dt, 200, gridmetrics.topology)
+    )
+    m0 = float((chi * v).sum())
+    m1 = float((out * v).sum())
+    assert abs(m1 - m0) / abs(m0) < 1e-12
+    assert np.all(out[~wet] == 0.0)
+    assert np.isfinite(out[wet]).all()
+
+
+def test_implicit_step_matches_direct_solve(ops, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(2)
+    chi = np.where(wet, 1.0 + 0.1 * rng.standard_normal(gridmetrics.shape), 0.0)
+    dt = 1e5  # way beyond the explicit CFL limit
+
+    out, res = implicit_euler_step(ops.T, chi, dt, gridmetrics.topology, tol=1e-12)
+    out = np.asarray(out)
+    assert float(res) < 1e-8
+
+    mat = coeffs_to_scipy(ops.T, indices, gridmetrics.topology)
+    n = mat.shape[0]
+    import scipy.sparse as sp
+
+    direct = spla.spsolve(
+        (sp.identity(n) + dt * mat).tocsc(), wet_vector(chi, indices)
+    )
+    np.testing.assert_allclose(wet_vector(out, indices), direct, rtol=1e-6, atol=1e-10)
+
+
+def test_ideal_age(ops, gridmetrics, indices):
+    """Mirror of the reference ideal-age range check
+    (test/local_full.jl:165-188): 0 < volume-weighted mean age < 2000 yr,
+    and agreement with the host direct solve."""
+    wet = np.asarray(indices.wet3d)
+    gamma, res = ideal_age(ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10)
+    gamma = np.asarray(gamma)
+    assert float(res) < 1e-6
+
+    yr = 365.25 * 24 * 3600
+    v = np.asarray(gridmetrics.v3d)[wet]
+    mean_age_yr = float((gamma[wet] * v).sum() / v.sum()) / yr
+    assert 0.0 < mean_age_yr < 2000.0
+
+    # cross-check vs scipy direct solve of (T + M) x = 1
+    import scipy.sparse as sp
+
+    mat = coeffs_to_scipy(ops.T, indices, gridmetrics.topology)
+    surf = np.zeros(gridmetrics.shape, bool)
+    surf[0] = True
+    m_diag = wet_vector(np.where(surf & wet, 1.0, 0.0), indices)
+    direct = spla.spsolve((mat + sp.diags(m_diag)).tocsc(), np.ones(mat.shape[0]))
+    np.testing.assert_allclose(gamma[wet], direct, rtol=1e-5, atol=1e-3)
