@@ -1,0 +1,141 @@
+"""Headline benchmark: operator assembly + apply on the ACCESS 1-degree
+grid size (360 x 300 x 50), single chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "grid-points/s", "vs_baseline": N}
+
+value = grid points processed per second for one full operator assembly
+(raw umo/vmo/mlotst -> T = Tadv+TkH+TkVML+TkVdeep) plus one operator
+application (the fused Pallas Euler step). Baseline: the reference builds
+the same operator in "a few seconds" on a laptop (README.md:79) — we use
+3 s for 5.4M cells = 1.8e6 grid-points/s.
+
+Timing methodology: this TPU is reached through a relay with ~0.5 ms
+dispatch latency and non-dependent calls get pipelined, so naive
+per-call timing is wrong in both directions. All hot loops are therefore
+measured as *data-dependent chains inside a single jit* (lax.fori_loop),
+which forces real sequential execution; only scalars are fetched back.
+
+Extra diagnostics (steps/s, achieved HBM bandwidth, roofline fraction) go
+to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NX, NY, NZ = 360, 300, 50
+BASELINE_POINTS_PER_S = (NX * NY * NZ) / 3.0
+V5E_HBM_GBPS = 819.0  # TPU v5e peak HBM bandwidth
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import otmb_tpu as otmb
+    from otmb_tpu.models.transport import assemble_transport
+    from otmb_tpu.ops.apply import apply_stencil
+    from otmb_tpu.ops.stencil_pallas import apply_stencil_pallas
+
+    backend = jax.default_backend()
+    print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
+
+    dtype = np.float32
+    ncells = NX * NY * NZ
+    ds = otmb.synthetic_dataset(nx=NX, ny=NY, nz=NZ, topology="tripolar", seed=0)
+    gm = otmb.makegridmetrics(
+        areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon, lat=ds.lat,
+        lev=ds.lev, lon_vertices=ds.lon_vertices, lat_vertices=ds.lat_vertices,
+        dtype=dtype,
+    )
+    idx = otmb.makeindices(gm.v3d)
+    topo = gm.topology
+
+    umo = jax.device_put(np.nan_to_num(ds.umo).astype(dtype))
+    vmo = jax.device_put(np.nan_to_num(ds.vmo).astype(dtype))
+    mlotst = jax.device_put(ds.mlotst.astype(dtype))
+    wet = np.asarray(idx.wet3d)
+    chi0 = jax.device_put(np.where(wet, 1.0, 0.0).astype(dtype))
+
+    coeffs = jax.jit(
+        lambda gm_, wet_, u, v, m: assemble_transport(u, v, m, gm_, wet_).T
+    )(gm, idx.wet3d, umo, vmo, mlotst)
+    jax.block_until_ready(coeffs)
+    dt = np.float32(100.0)
+
+    def chain_time(step_fn, x0, nsteps):
+        """Per-step time of a data-dependent in-jit chain."""
+
+        @jax.jit
+        def many(c):
+            return jax.lax.fori_loop(0, nsteps, lambda i, v: step_fn(v), c)
+
+        out = many(x0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = many(x0)
+        jax.block_until_ready(out)
+        elapsed = time.perf_counter() - t0
+        float(jnp.sum(out))  # scalar fetch proves completion
+        return elapsed / nsteps
+
+    nsteps = 200
+    t_pallas = chain_time(
+        lambda c: c - dt * apply_stencil_pallas(coeffs, c, topo), chi0, nsteps
+    )
+    stream_bytes = 9 * ncells * np.dtype(dtype).itemsize
+    bw = stream_bytes / t_pallas / 1e9
+    print(
+        f"# pallas euler step: {t_pallas*1e6:.0f} us, {1/t_pallas:.0f} steps/s, "
+        f"{bw:.0f} GB/s effective ({100*bw/V5E_HBM_GBPS:.0f}% of v5e HBM peak)",
+        file=sys.stderr,
+    )
+
+    t_jnp = chain_time(
+        lambda c: c - dt * apply_stencil(coeffs, c, topo), chi0, nsteps
+    )
+    print(
+        f"# jnp euler step:    {t_jnp*1e6:.0f} us "
+        f"({stream_bytes/t_jnp/1e9:.0f} GB/s effective)",
+        file=sys.stderr,
+    )
+
+    # Assembly: dependent chain via a scalar feedback into the inputs.
+    n_asm = 20
+
+    @jax.jit
+    def assemble_chain(u, v, m):
+        def body(i, carry):
+            t = assemble_transport(u * (1.0 + 1e-12 * carry), v, m, gm, idx.wet3d).T
+            return t.diag[0, 0, 0]
+
+        return jax.lax.fori_loop(0, n_asm, body, jnp.float32(0.0))
+
+    out = assemble_chain(umo, vmo, mlotst)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = assemble_chain(umo, vmo, mlotst)
+    jax.block_until_ready(out)
+    float(out)
+    t_assembly = (time.perf_counter() - t0) / n_asm
+    print(
+        f"# assembly: {t_assembly*1e3:.2f} ms "
+        f"({ncells/t_assembly/1e9:.2f} G grid-points/s)",
+        file=sys.stderr,
+    )
+
+    t_total = t_assembly + t_pallas
+    value = ncells / t_total
+    print(json.dumps({
+        "metric": "grid-points/s operator assembly+apply on ACCESS 1° grid",
+        "value": value,
+        "unit": "grid-points/s",
+        "vs_baseline": value / BASELINE_POINTS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

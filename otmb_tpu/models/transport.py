@@ -89,6 +89,37 @@ def _checked(c: StencilCoeffs, name: str) -> StencilCoeffs:
     return c
 
 
+def assemble_transport(
+    umo,
+    vmo,
+    mlotst,
+    gridmetrics: GridMetrics,
+    wet3d,
+    rho=RHO_DEFAULT,
+    kappa_h=KAPPA_H_DEFAULT,
+    kappa_vml=KAPPA_VML_DEFAULT,
+    kappa_vdeep=KAPPA_VDEEP_DEFAULT,
+    upwind: bool = True,
+) -> TransportOperators:
+    """Fully jittable end-to-end assembly: raw transports -> all operators.
+
+    Same physics as `transportmatrix` but takes plain arrays (no host-side
+    `Indices`), so it can be jit/pjit-compiled as one fused program — the
+    TPU 'assembly' hot path (a handful of elementwise passes + one cumsum).
+    """
+    from ..ops.fluxes import facefluxes
+
+    phi = facefluxes(umo, vmo, wet3d, gridmetrics.topology)
+    Tadv = advection_coeffs(phi, gridmetrics, wet3d, rho, upwind=upwind)
+    TkH = horizontal_diffusion_coeffs(gridmetrics, wet3d, kappa_h)
+    TkVML = vertical_diffusion_coeffs(
+        gridmetrics, wet3d, kappa_vml, mixed_layer_mask(gridmetrics, mlotst)
+    )
+    TkVdeep = vertical_diffusion_coeffs(gridmetrics, wet3d, kappa_vdeep, None)
+    T = add_coeffs(Tadv, TkH, TkVML, TkVdeep)
+    return TransportOperators(T=T, Tadv=Tadv, TkH=TkH, TkVML=TkVML, TkVdeep=TkVdeep)
+
+
 def transportmatrix(
     *,
     phi: FaceFluxes,

@@ -1,0 +1,61 @@
+"""Pallas stencil kernel vs the jnp reference apply (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from otmb_tpu.models.transport import transportmatrix
+from otmb_tpu.ops.apply import apply_stencil
+from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+from otmb_tpu.ops.stencil_pallas import apply_stencil_pallas, euler_step_pallas
+
+
+@pytest.fixture(scope="module")
+def ops(dataset, gridmetrics, indices):
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics, indices=indices
+    )
+    return transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics, indices=indices
+    )
+
+
+def test_pallas_apply_matches_reference(ops, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(0)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+
+    ref = np.asarray(apply_stencil(ops.T, chi, gridmetrics.topology))
+    out = np.asarray(
+        apply_stencil_pallas(ops.T, chi, gridmetrics.topology, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_pallas_apply_f32(ops, gridmetrics, indices):
+    """The TPU hot path runs float32; kernel must agree with the f32 jnp
+    apply at f32 precision."""
+    import jax
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(1)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0).astype(np.float32)
+    coeffs32 = jax.tree_util.tree_map(lambda x: x.astype(np.float32), ops.T)
+
+    ref = np.asarray(apply_stencil(coeffs32, chi, gridmetrics.topology))
+    out = np.asarray(
+        apply_stencil_pallas(coeffs32, chi, gridmetrics.topology, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_euler_step(ops, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(2)
+    chi = np.where(wet, 1.0 + 0.1 * rng.standard_normal(gridmetrics.shape), 0.0)
+    dt = 100.0
+
+    ref = chi - dt * np.asarray(apply_stencil(ops.T, chi, gridmetrics.topology))
+    out = np.asarray(
+        euler_step_pallas(ops.T, chi, dt, gridmetrics.topology, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
