@@ -94,6 +94,21 @@ def main():
         file=sys.stderr,
     )
 
+    # mixed precision: bf16 coefficient streams, f32 tracer/accumulation
+    coeffs_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), coeffs
+    )
+    jax.block_until_ready(coeffs_bf16)
+    t_bf16 = chain_time(
+        lambda c: c - dt * apply_stencil_pallas(coeffs_bf16, c, topo), chi0, nsteps
+    )
+    print(
+        f"# pallas euler step (bf16 coefs): {t_bf16*1e6:.0f} us, "
+        f"{1/t_bf16:.0f} steps/s "
+        f"({stream_bytes/t_bf16/1e9:.0f} GB/s f32-equivalent)",
+        file=sys.stderr,
+    )
+
     t_jnp = chain_time(
         lambda c: c - dt * apply_stencil(coeffs, c, topo), chi0, nsteps
     )

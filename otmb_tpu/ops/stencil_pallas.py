@@ -50,10 +50,11 @@ def _stencil_kernel(
     north = jnp.concatenate([chi[1:, :], seam_ref[0]], axis=0)
     south = jnp.concatenate([chi[0:1, :], chi[: ny - 1, :]], axis=0)
 
-    acc = diag_ref[0] * chi
-    acc += e_ref[0] * east + w_ref[0] * west
-    acc += n_ref[0] * north + s_ref[0] * south
-    acc += t_ref[0] * chi_up_ref[0] + b_ref[0] * chi_dn_ref[0]
+    up = lambda r: r[0].astype(chi.dtype)
+    acc = up(diag_ref) * chi
+    acc += up(e_ref) * east + up(w_ref) * west
+    acc += up(n_ref) * north + up(s_ref) * south
+    acc += up(t_ref) * chi_up_ref[0] + up(b_ref) * chi_dn_ref[0]
 
     if dt is not None:
         acc = chi - dt * acc
@@ -101,10 +102,104 @@ def _apply_pallas(coeffs: StencilCoeffs, chi, topology: GridTopology,
             transcendentals=0,
         ),
     )(
-        coeffs.diag.astype(dtype), coeffs.east.astype(dtype),
-        coeffs.west.astype(dtype), coeffs.north.astype(dtype),
-        coeffs.south.astype(dtype), coeffs.top.astype(dtype),
-        coeffs.bottom.astype(dtype), chi, chi, chi, seam.astype(dtype),
+        coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+        coeffs.south, coeffs.top, coeffs.bottom, chi, chi, chi,
+        seam.astype(dtype),
+    )
+
+
+def _stencil_kernel_carry(
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    chi_in_ref, seam_ref,
+    out_ref,
+    chi_scr,
+    *,
+    ny: int,
+    dt: float | None,
+):
+    """k-carry variant: grid is (nz+1,) with logical k = step-1; the chi
+    slabs for k-1 and k live in a 3-slot VMEM scratch rotation, so chi is
+    streamed from HBM exactly once (the incoming block is chi[k+1]).
+    HBM traffic drops from 11 to ~9 streams per cell."""
+    step = pl.program_id(0)
+    k = step - 1
+
+    def slot_select(slot_idx):
+        return jnp.where(
+            slot_idx == 0,
+            chi_scr[0],
+            jnp.where(slot_idx == 1, chi_scr[1], chi_scr[2]),
+        )
+
+    @pl.when(step > 0)
+    def _():
+        chi = slot_select((k + 3) % 3)
+        chi_up = slot_select((k + 2) % 3)  # (k-1) mod 3
+        chi_up = jnp.where(k > 0, chi_up, 0.0)  # slot is garbage at k == 0
+        chi_dn = chi_in_ref[0]  # chi[k+1] (clamped at the floor, coef 0)
+
+        nx = chi.shape[1]
+        east = pltpu.roll(chi, nx - 1, 1)
+        west = pltpu.roll(chi, 1, 1)
+        north = jnp.concatenate([chi[1:, :], seam_ref[0]], axis=0)
+        south = jnp.concatenate([chi[0:1, :], chi[: ny - 1, :]], axis=0)
+
+        up = lambda r: r[0].astype(chi.dtype)
+        acc = up(diag_ref) * chi
+        acc += up(e_ref) * east + up(w_ref) * west
+        acc += up(n_ref) * north + up(s_ref) * south
+        acc += up(t_ref) * chi_up + up(b_ref) * chi_dn
+
+        if dt is not None:
+            acc = chi - dt * acc
+        out_ref[0] = acc
+
+    # Rotate the incoming chi[k+1] into slot (k+1) mod 3 — never a slot
+    # read this step, so there is no read/write ordering hazard.
+    write_slot = step % 3
+    for slot in range(3):
+        @pl.when(write_slot == slot)
+        def _(slot=slot):
+            chi_scr[slot] = chi_in_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("topology", "dt_static", "interpret"))
+def _apply_pallas_carry(coeffs: StencilCoeffs, chi, topology: GridTopology,
+                        dt_static, interpret: bool):
+    nz, ny, nx = topology.shape3d
+    chi = jnp.asarray(chi)
+    dtype = chi.dtype
+
+    slab_k = lambda s: (jnp.maximum(s - 1, 0), 0, 0)
+    slab_in = lambda s: (jnp.minimum(s, nz - 1), 0, 0)
+
+    def spec(index_map, block=(1, ny, nx)):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    if topology.is_tripolar:
+        seam = chi[:, ny - 1, ::-1]
+    else:
+        seam = chi[:, ny - 1, :]
+    seam = seam.reshape(nz, 1, nx)
+
+    kernel = functools.partial(_stencil_kernel_carry, ny=ny, dt=dt_static)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nz + 1,),
+        in_specs=[spec(slab_k)] * 7 + [spec(slab_in), spec(slab_k, (1, 1, nx))],
+        out_specs=spec(slab_k),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        scratch_shapes=[pltpu.VMEM((3, ny, nx), dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=15 * nz * ny * nx,
+            bytes_accessed=9 * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+        coeffs.south, coeffs.top, coeffs.bottom, chi, seam.astype(dtype),
     )
 
 
@@ -117,15 +212,19 @@ def apply_stencil_pallas(
     chi,
     topology: GridTopology,
     interpret: bool | None = None,
+    variant: str = "carry",
 ):
     """y = T @ chi via the fused Pallas kernel.
 
     `interpret=None` auto-selects interpreter mode off-TPU so the kernel
-    stays testable on the CPU backend.
+    stays testable on the CPU backend. `variant`: "carry" (default —
+    chi streamed once, k-slabs carried in VMEM scratch) or "simple"
+    (chi streamed three times; kept as a fallback/reference kernel).
     """
     if interpret is None:
         interpret = _default_interpret()
-    return _apply_pallas(coeffs, chi, topology, None, interpret)
+    impl = _apply_pallas_carry if variant == "carry" else _apply_pallas
+    return impl(coeffs, chi, topology, None, interpret)
 
 
 def euler_step_pallas(
@@ -134,9 +233,11 @@ def euler_step_pallas(
     dt: float,
     topology: GridTopology,
     interpret: bool | None = None,
+    variant: str = "carry",
 ):
     """chi - dt * T @ chi in a single fused kernel (no extra HBM pass for
     the AXPY)."""
     if interpret is None:
         interpret = _default_interpret()
-    return _apply_pallas(coeffs, chi, topology, float(dt), interpret)
+    impl = _apply_pallas_carry if variant == "carry" else _apply_pallas
+    return impl(coeffs, chi, topology, float(dt), interpret)

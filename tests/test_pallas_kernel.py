@@ -59,3 +59,47 @@ def test_pallas_euler_step(ops, gridmetrics, indices):
         euler_step_pallas(ops.T, chi, dt, gridmetrics.topology, interpret=True)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("variant", ["simple", "carry"])
+def test_pallas_variants_match(ops, gridmetrics, indices, variant):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(3)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    ref = np.asarray(apply_stencil(ops.T, chi, gridmetrics.topology))
+    out = np.asarray(
+        apply_stencil_pallas(
+            ops.T, chi, gridmetrics.topology, interpret=True, variant=variant
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-13)
+    out2 = np.asarray(
+        euler_step_pallas(
+            ops.T, chi, 50.0, gridmetrics.topology, interpret=True, variant=variant
+        )
+    )
+    np.testing.assert_allclose(out2, chi - 50.0 * ref, rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("variant", ["simple", "carry"])
+def test_pallas_bf16_coefficients(ops, gridmetrics, indices, variant):
+    """Mixed precision: bf16 coefficient streams, f32 chi/accumulation."""
+    import jax
+    import jax.numpy as jnp
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(4)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0).astype(np.float32)
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
+    coeffs_bf16 = cast(ops.T)
+
+    ref = np.asarray(apply_stencil(ops.T, chi, gridmetrics.topology))
+    out = np.asarray(
+        apply_stencil_pallas(
+            coeffs_bf16, chi, gridmetrics.topology, interpret=True, variant=variant
+        )
+    )
+    assert out.dtype == np.float32
+    # bf16 has ~3 significant decimal digits
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-2)
