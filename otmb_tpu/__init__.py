@@ -23,9 +23,26 @@ from .models.transport import (
     buildTkVML,
     transportmatrix,
 )
+from .models.redigm import add_bolus_transports, bolus_gm_velocity
+from .models.solvers import (
+    explicit_euler_propagate,
+    ideal_age,
+    implicit_euler_step,
+    sequestration_time,
+)
+from .models.transport import assemble_transport
 from .ops.apply import apply_stencil, apply_stencil_transpose, operator_diagnostics
 from .ops.coeffs import StencilCoeffs, add_coeffs
 from .ops.fluxes import FaceFluxes, facefluxes, facefluxesfrommasstransport
+from .ops.stencil_pallas import apply_stencil_pallas, euler_step_pallas
+from .ops.velocities import (
+    facefluxesfromvelocities,
+    fluxes2velocity,
+    getarakawagrid,
+    interpolateontodefaultCgrid,
+    velocity2fluxes,
+)
+from .utils.coarsen import lump_and_spray
 from .utils.sparse_export import coeffs_to_scipy
 from .utils.synthetic import synthetic_dataset
 
@@ -56,6 +73,21 @@ __all__ = [
     "FaceFluxes",
     "facefluxes",
     "facefluxesfrommasstransport",
+    "facefluxesfromvelocities",
+    "velocity2fluxes",
+    "fluxes2velocity",
+    "getarakawagrid",
+    "interpolateontodefaultCgrid",
+    "apply_stencil_pallas",
+    "euler_step_pallas",
+    "assemble_transport",
+    "explicit_euler_propagate",
+    "implicit_euler_step",
+    "ideal_age",
+    "sequestration_time",
+    "bolus_gm_velocity",
+    "add_bolus_transports",
+    "lump_and_spray",
     "coeffs_to_scipy",
     "synthetic_dataset",
 ]

@@ -64,3 +64,48 @@ def bolus_gm_velocity(
     u = vertical_dyad_derivative(kappa_gm * s_i, gridmetrics, wet3d)
     v = vertical_dyad_derivative(kappa_gm * s_j, gridmetrics, wet3d)
     return u, v
+
+
+def add_bolus_transports(
+    umo,
+    vmo,
+    rho,
+    gridmetrics: GridMetrics,
+    wet3d=None,
+    kappa_gm: float = KAPPA_GM_DEFAULT,
+    maxslope: float = MAXSLOPE_DEFAULT,
+    rho_flux=None,
+):
+    """Add the GM bolus mass transports to resolved umo/vmo.
+
+    Composes the bolus velocity with `velocity2fluxes`, so the eddy
+    (bolus) advection enters the transport operator through the same
+    six-face flux closure as the resolved flow — the operator then carries
+    resolved + eddy-induced advection (the reference exposes the bolus
+    velocity but leaves the composition to the user; here it is one call).
+
+    `rho_flux` is the density used in the velocity->flux conversion
+    (defaults to the 3D `rho` used for the slopes; a scalar is fine).
+    Returns (umo_total, vmo_total).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.velocities import velocity2fluxes
+
+    u_b, v_b = bolus_gm_velocity(
+        rho, gridmetrics, wet3d, kappa_gm=kappa_gm, maxslope=maxslope
+    )
+    # NaN bolus (land / missing-leg cells) means "no eddy transport".
+    u_b = jnp.where(jnp.isfinite(u_b), u_b, 0.0)
+    v_b = jnp.where(jnp.isfinite(v_b), v_b, 0.0)
+
+    rho_f = rho if rho_flux is None else rho_flux
+    # Bolus velocities live on the default C-grid faces already; lon/lat
+    # of the points are irrelevant for the C-grid (identity) path.
+    phi_i, phi_j = velocity2fluxes(
+        u_b, None, None, v_b, None, None, gridmetrics, rho_f,
+        arakawa_kind="C",
+    )
+    phi_i = jnp.where(jnp.isfinite(phi_i), phi_i, 0.0)
+    phi_j = jnp.where(jnp.isfinite(phi_j), phi_j, 0.0)
+    return jnp.asarray(umo) + phi_i, jnp.asarray(vmo) + phi_j

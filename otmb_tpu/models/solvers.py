@@ -50,7 +50,7 @@ def _jacobi_preconditioner(diag):
     return lambda x: inv * x
 
 
-@partial(jax.jit, static_argnames=("topology", "method", "maxiter"))
+@partial(jax.jit, static_argnames=("topology", "method", "maxiter", "transpose"))
 def solve_shifted(
     coeffs: StencilCoeffs,
     b,
@@ -60,18 +60,23 @@ def solve_shifted(
     tol: float = 1e-10,
     method: str = "bicgstab",
     maxiter: int = 2000,
+    transpose: bool = False,
 ):
-    """Solve (shift * I + D_extra + T) x = b matrix-free.
+    """Solve (shift * I + D_extra + T) x = b matrix-free (T' instead of T
+    when `transpose`, for adjoint problems like sequestration time).
 
     `shift` is a scalar (e.g. 1/dt for implicit Euler); `extra_diag` an
     optional per-cell diagonal field (e.g. the surface restoring mask of
     the ideal-age problem). Returns (x, residual_norm).
     """
+    from ..ops.apply import apply_stencil_transpose
+
     b = jnp.asarray(b)
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+    apply = apply_stencil_transpose if transpose else apply_stencil
 
     def a_op(x):
-        return shift * x + extra * x + apply_stencil(coeffs, x, topology)
+        return shift * x + extra * x + apply(coeffs, x, topology)
 
     precond = _jacobi_preconditioner(shift + extra + coeffs.diag)
 
@@ -133,5 +138,34 @@ def ideal_age(
     surf = jnp.where(wet, surf, 0.0)
     gamma, res = solve_shifted(
         coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol, method=method
+    )
+    return jnp.where(wet, gamma, jnp.nan), res
+
+
+def sequestration_time(
+    coeffs: StencilCoeffs,
+    wet3d,
+    topology: GridTopology,
+    surface_rate: float = 1.0,
+    tol: float = 1e-8,
+    method: str = "bicgstab",
+):
+    """Mean sequestration time (seconds): the adjoint of ideal age —
+    expected time for water at each cell to next contact the surface,
+    governed by the transpose operator:
+
+        (T' + M) Gamma_dagger = 1  on wet cells.
+
+    Uses the exact transpose of the stencil apply (ops/apply.py), so
+    adjoint consistency with the forward operator is structural.
+    """
+    wet = jnp.asarray(wet3d, bool)
+    dtype = coeffs.diag.dtype
+    ones = jnp.where(wet, jnp.ones(wet.shape, dtype), 0.0)
+    surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
+    surf = jnp.where(wet, surf, 0.0)
+    gamma, res = solve_shifted(
+        coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+        method=method, transpose=True,
     )
     return jnp.where(wet, gamma, jnp.nan), res

@@ -182,18 +182,25 @@ def _two_cell_nanmin(x, direction, topology):
 
 
 def velocity2fluxes(u, u_lon, u_lat, v, v_lon, v_lat, gridmetrics: GridMetrics, rho,
-                    fill_value: float | None = None):
+                    fill_value: float | None = None,
+                    arakawa_kind: str | None = None):
     """Mass fluxes (kg/s) through east/north faces from C- or B-grid
     velocities (m/s).
 
     Mirrors `velocity2fluxes` (velocities.jl:10-39): B->C interpolation if
     needed, then phi = u * mean-rho(two cells) * min-thickness(two cells)
     * edge length, with the pair taken along the face direction.
+
+    Pass `arakawa_kind="C"` to skip classification when the velocities are
+    already on the default C-grid faces (u_lon etc. may then be None).
     """
     topo = gridmetrics.topology
-    u, _, _, v, _, _ = interpolateontodefaultCgrid(
-        u, u_lon, u_lat, v, v_lon, v_lat, gridmetrics, fill_value=fill_value
-    )
+    if arakawa_kind == "C":
+        pass  # already on the default C-grid
+    else:
+        u, _, _, v, _, _ = interpolateontodefaultCgrid(
+            u, u_lon, u_lat, v, v_lon, v_lat, gridmetrics, fill_value=fill_value
+        )
     thk = gridmetrics.thkcello
     phi_i = (
         jnp.asarray(u)

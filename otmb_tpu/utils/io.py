@@ -1,0 +1,132 @@
+"""Data ingestion: CMIP conventions and reference-order conversion.
+
+The reference's L0 layer lives in user/test code (YAXArrays over
+NetCDF/Zarr, test/online.jl:19-65); here ingestion is a thin adapter:
+
+  * `from_reference_order` / `to_reference_order`: the reference (Julia,
+    column-major) uses (nx, ny, nz) arrays; canonical layout here is
+    (nz, ny, nx) — the same memory order, transposed indexing.
+  * `gridmetrics_from_xarray` / `transports_from_xarray`: pull the
+    standard CMIP variable names out of xarray datasets. xarray/netCDF4/
+    zarr are optional dependencies — a clear error tells the user what to
+    install; everything else in the package works from plain arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..grid.geometry import GridMetrics, makegridmetrics
+
+
+def from_reference_order(arr) -> np.ndarray:
+    """(nx, ny, nz) / (nx, ny) / (4, nx, ny) reference-order array ->
+    canonical (nz, ny, nx) / (ny, nx) / (4, ny, nx)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        return arr.T
+    if arr.ndim == 3 and arr.shape[0] == 4:
+        return arr.transpose(0, 2, 1)
+    if arr.ndim == 3:
+        return arr.transpose(2, 1, 0)
+    raise ValueError(f"unsupported rank {arr.ndim}")
+
+
+def to_reference_order(arr) -> np.ndarray:
+    """Inverse of `from_reference_order` (the transposes are involutions)."""
+    return from_reference_order(arr)
+
+
+def _require_xarray():
+    try:
+        import xarray  # noqa: F401
+
+        return xarray
+    except ImportError as e:  # pragma: no cover - env without xarray
+        raise ImportError(
+            "xarray is required for dataset ingestion; install xarray plus "
+            "netCDF4 (for NetCDF) or zarr (for Zarr stores), or pass plain "
+            "numpy arrays to makegridmetrics/facefluxesfrommasstransport "
+            "directly."
+        ) from e
+
+
+# CMIP-standard variable/coordinate names with common fallbacks.
+_NAME_CANDIDATES = {
+    "lon": ("longitude", "lon", "nav_lon"),
+    "lat": ("latitude", "lat", "nav_lat"),
+    "lev": ("lev", "olevel", "depth", "deptht"),
+    "lon_vertices": ("vertices_longitude", "lon_verticies", "lon_bnds_2d",
+                     "bounds_lon"),
+    "lat_vertices": ("vertices_latitude", "lat_verticies", "lat_bnds_2d",
+                     "bounds_lat"),
+}
+
+
+def _find(ds, key: str):
+    for name in _NAME_CANDIDATES[key]:
+        if name in ds.variables:
+            return ds[name]
+    raise KeyError(
+        f"none of {_NAME_CANDIDATES[key]} found in dataset (variables: "
+        f"{list(ds.variables)[:20]}...)"
+    )
+
+
+def _vertices_canonical(v) -> np.ndarray:
+    """xarray vertex arrays are commonly (ny, nx, 4) or (4, ny, nx);
+    canonicalize to (4, ny, nx)."""
+    v = np.asarray(v, dtype=np.float64)
+    if v.ndim != 3:
+        raise ValueError(f"vertex array must be rank 3, got {v.shape}")
+    if v.shape[-1] == 4 and v.shape[0] != 4:
+        return np.moveaxis(v, -1, 0)
+    if v.shape[0] == 4:
+        return v
+    raise ValueError(f"cannot locate the vertex axis in shape {v.shape}")
+
+
+def gridmetrics_from_xarray(volcello_ds, areacello_ds=None, dtype=None) -> GridMetrics:
+    """Build GridMetrics from CMIP xarray dataset(s), mirroring the
+    reference's online-test ingestion (test/online.jl:49-74).
+
+    `volcello_ds` must carry volcello + lon/lat/lev + vertex coordinates;
+    `areacello_ds` defaults to the same dataset.
+    """
+    _require_xarray()
+    area_ds = volcello_ds if areacello_ds is None else areacello_ds
+
+    volcello = volcello_ds["volcello"]
+    areacello = area_ds["areacello"]
+    fill = volcello.encoding.get("_FillValue", volcello.attrs.get("_FillValue"))
+
+    vol = np.asarray(volcello.squeeze())  # (nz, ny, nx) CMIP order
+    if vol.ndim != 3:
+        raise ValueError(f"volcello must be 3D after squeeze, got {vol.shape}")
+
+    return makegridmetrics(
+        areacello=np.asarray(areacello.squeeze()),
+        volcello=vol,
+        lon=np.asarray(_find(volcello_ds, "lon")),
+        lat=np.asarray(_find(volcello_ds, "lat")),
+        lev=np.asarray(_find(volcello_ds, "lev")),
+        lon_vertices=_vertices_canonical(_find(volcello_ds, "lon_vertices")),
+        lat_vertices=_vertices_canonical(_find(volcello_ds, "lat_vertices")),
+        fill_value=fill,
+        dtype=dtype,
+    )
+
+
+def transports_from_xarray(umo_ds, vmo_ds, time_index: int = 0):
+    """(umo, vmo, fill_value) numpy triple from CMIP xarray datasets,
+    selecting one time step (the reference takes time step 1,
+    test/online.jl:43-47)."""
+    _require_xarray()
+    umo = umo_ds["umo"]
+    vmo = vmo_ds["vmo"]
+    fill = umo.encoding.get("_FillValue", umo.attrs.get("_FillValue"))
+    if "time" in umo.dims:
+        umo = umo.isel(time=time_index)
+    if "time" in vmo.dims:
+        vmo = vmo.isel(time=time_index)
+    return np.asarray(umo), np.asarray(vmo), fill
