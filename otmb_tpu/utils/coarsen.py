@@ -26,7 +26,77 @@ from scipy.sparse.csgraph import connected_components
 logger = logging.getLogger(__name__)
 
 
-def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2, dk: int = 1):
+def _assign_lump_labels_py(nz, ny, nx, dk, dj, di, wet_ext, lwet_ext, mask,
+                           pattern):
+    """Pure-Python block labeling (semantics oracle; see the native C++
+    core in native/coarsen_native.cpp for the production path)."""
+    ez, ey, ex = nz + dk - 1, ny + dj - 1, nx + di - 1
+    lump_idx = np.zeros((ez, ey, ex), dtype=np.int64)
+    next_id = 2  # 1 is reserved for dry cells (reference extratools.jl:55)
+    off_k, off_j, off_i = np.meshgrid(
+        np.arange(dk), np.arange(dj), np.arange(di), indexing="ij"
+    )
+    off_k, off_j, off_i = off_k.ravel(), off_j.ravel(), off_i.ravel()
+
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                if lump_idx[k, j, i] > 0 and mask[k, j, i]:
+                    continue  # already assigned and inside the region
+                if mask[k, j, i]:
+                    bk, bj, bi = k + off_k, j + off_j, i + off_i
+                    block_wet = wet_ext[bk, bj, bi]
+                    lump_idx[bk[~block_wet], bj[~block_wet], bi[~block_wet]] = 1
+                    wk, wj, wi = bk[block_wet], bj[block_wet], bi[block_wet]
+                    widx = lwet_ext[wk, wj, wi]
+                    if widx.size == 0:
+                        continue
+                    local = pattern[widx][:, widx]
+                    ncomp, labels = connected_components(local, directed=False)
+                    lump_idx[wk, wj, wi] = next_id + labels
+                    next_id += ncomp
+                else:
+                    lump_idx[k, j, i] = next_id
+                    next_id += 1
+    return lump_idx, next_id - 1
+
+
+def _assign_lump_labels_native(nz, ny, nx, dk, dj, di, wet_ext, lwet_ext, mask,
+                               pattern):
+    """C++ union-find core (native/coarsen_native.cpp); returns None if the
+    native library is unavailable."""
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library("coarsen_native")
+    if lib is None:
+        return None
+
+    fn = lib.assign_lump_labels
+    fn.restype = ctypes.c_int64
+    ez, ey, ex = nz + dk - 1, ny + dj - 1, nx + di - 1
+    lump_idx = np.zeros((ez, ey, ex), dtype=np.int64)
+
+    wet_u8 = np.ascontiguousarray(wet_ext, dtype=np.uint8)
+    lwet_c = np.ascontiguousarray(lwet_ext, dtype=np.int64)
+    mask_u8 = np.ascontiguousarray(mask, dtype=np.uint8)
+    indptr = np.ascontiguousarray(pattern.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(pattern.indices, dtype=np.int64)
+
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p))
+    n_ids = fn(
+        ctypes.c_int64(nz), ctypes.c_int64(ny), ctypes.c_int64(nx),
+        ctypes.c_int64(dk), ctypes.c_int64(dj), ctypes.c_int64(di),
+        p(wet_u8), p(lwet_c), p(mask_u8), p(indptr), p(indices), p(lump_idx),
+    )
+    if n_ids < 0:
+        return None
+    return lump_idx, int(n_ids)
+
+
+def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2,
+                   dk: int = 1, use_native: bool = True):
     """Return (LUMP, SPRAY, vol_c).
 
     * `wet3d`: (nz, ny, nx) bool.
@@ -47,8 +117,6 @@ def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2, dk: int =
         mask = np.asarray(mask, bool)
 
     ez, ey, ex = nz + dk - 1, ny + dj - 1, nx + di - 1  # ghost-extended shape
-    lump_idx = np.zeros((ez, ey, ex), dtype=np.int64)
-
     wet_ext = np.zeros((ez, ey, ex), dtype=bool)
     wet_ext[:nz, :ny, :nx] = wet3d
 
@@ -65,33 +133,16 @@ def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2, dk: int =
     # Symmetrize so components do not depend on flow direction.
     pattern = (pattern + pattern.T).tocsr()
 
-    next_id = 2  # 1 is reserved for dry cells (reference extratools.jl:55)
-    off_k, off_j, off_i = np.meshgrid(
-        np.arange(dk), np.arange(dj), np.arange(di), indexing="ij"
-    )
-    off_k, off_j, off_i = off_k.ravel(), off_j.ravel(), off_i.ravel()
-
-    for k in range(nz):
-        for j in range(ny):
-            for i in range(nx):
-                if lump_idx[k, j, i] > 0 and mask[k, j, i]:
-                    continue  # already assigned and inside the region
-                if mask[k, j, i]:
-                    bk, bj, bi = k + off_k, j + off_j, i + off_i
-                    block_wet = wet_ext[bk, bj, bi]
-                    # dry cells in the block get the dry id
-                    lump_idx[bk[~block_wet], bj[~block_wet], bi[~block_wet]] = 1
-                    wk, wj, wi = bk[block_wet], bj[block_wet], bi[block_wet]
-                    widx = lwet_ext[wk, wj, wi]
-                    if widx.size == 0:
-                        continue
-                    local = pattern[widx][:, widx]
-                    ncomp, labels = connected_components(local, directed=False)
-                    lump_idx[wk, wj, wi] = next_id + labels
-                    next_id += ncomp
-                else:
-                    lump_idx[k, j, i] = next_id
-                    next_id += 1
+    result = None
+    if use_native:
+        result = _assign_lump_labels_native(
+            nz, ny, nx, dk, dj, di, wet_ext, lwet_ext, mask, pattern
+        )
+    if result is None:
+        result = _assign_lump_labels_py(
+            nz, ny, nx, dk, dj, di, wet_ext, lwet_ext, mask, pattern
+        )
+    lump_idx, n_ids = result
 
     # Drop ghost cells; map original cells -> lump ids
     # (reference extratools.jl:85).
@@ -99,7 +150,7 @@ def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2, dk: int =
     ncells = ids.size
     lump_full = sp.csr_matrix(
         (np.ones(ncells), (ids - 1, np.arange(ncells))),
-        shape=(next_id - 1, ncells),
+        shape=(n_ids, ncells),
     )
 
     wet = wet3d.ravel()

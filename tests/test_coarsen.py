@@ -83,3 +83,39 @@ def test_lump_respects_region_mask(built, gridmetrics, indices):
     sizes = np.bincount(parents)
     outside_parents = parents[outside]
     assert np.all(sizes[outside_parents] == 1)
+
+
+def test_native_matches_python(built, gridmetrics, indices):
+    """The C++ labeling core must produce the same partition of fine cells
+    into coarse cells as the Python oracle (labels may be permuted)."""
+    from otmb_tpu.native import load_library
+
+    assert load_library("coarsen_native") is not None, "native build failed"
+
+    ops, mat = built
+    wet = np.asarray(indices.wet3d)
+    v = wet_vector(np.asarray(gridmetrics.v3d), indices)
+
+    mask = np.zeros_like(wet)
+    mask[:, : wet.shape[1] // 2, :] = True
+
+    for kwargs in (dict(di=2, dj=2, dk=1), dict(di=3, dj=2, dk=2),
+                   dict(di=2, dj=2, dk=1, mask=mask)):
+        l_py, s_py, v_py = lump_and_spray(wet, v, mat, use_native=False, **kwargs)
+        l_c, s_c, v_c = lump_and_spray(wet, v, mat, use_native=True, **kwargs)
+        assert l_py.shape == l_c.shape
+        # same partition: each fine cell's coarse-group members identical
+        parents_py = s_py.tocsr().indices
+        parents_c = s_c.tocsr().indices
+        # canonical relabel: map parent id -> smallest member fine index
+        def canon(parents):
+            first = {}
+            out = np.empty_like(parents)
+            for fine, p in enumerate(parents):
+                if p not in first:
+                    first[p] = fine
+                out[fine] = first[p]
+            return out
+
+        np.testing.assert_array_equal(canon(parents_py), canon(parents_c))
+        np.testing.assert_allclose(np.sort(v_py), np.sort(v_c), rtol=1e-12)

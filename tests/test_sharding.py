@@ -145,10 +145,15 @@ def test_halo_apply_matches_reference(mesh, dataset, gridmetrics, indices):
     from otmb_tpu.models.solvers import explicit_euler_propagate
 
     ref_prop = np.asarray(explicit_euler_propagate(ops.T, chi, 300.0, 10, topo))
-    out_prop = jax.jit(
-        lambda c, x: euler_propagate_halo(c, x, 300.0, 10, topo, mesh)
-    )(coeffs_sh, chi_sh)
-    np.testing.assert_allclose(np.asarray(out_prop), ref_prop, rtol=1e-11, atol=1e-11)
+    for overlap in (False, True):
+        out_prop = jax.jit(
+            lambda c, x, o=overlap: euler_propagate_halo(c, x, 300.0, 10, topo,
+                                                         mesh, overlap=o)
+        )(coeffs_sh, chi_sh)
+        np.testing.assert_allclose(
+            np.asarray(out_prop), ref_prop, rtol=1e-11, atol=1e-11,
+            err_msg=f"overlap={overlap}",
+        )
 
 
 def test_field_pspec():
