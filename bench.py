@@ -20,6 +20,7 @@ Extra diagnostics (steps/s, achieved HBM bandwidth, roofline fraction) go
 to stderr.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -30,8 +31,18 @@ NX, NY, NZ = 360, 300, 50
 BASELINE_POINTS_PER_S = (NX * NY * NZ) / 3.0
 V5E_HBM_GBPS = 819.0  # TPU v5e peak HBM bandwidth
 
+#: ACCESS-OM2 0.25-degree size (SURVEY section 7 scale-out config).
+QUARTER_DEGREE = (1440, 1080, 75)
+
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scale", choices=["1deg", "quarter"], default="1deg",
+                        help="grid size: ACCESS 1-degree (default) or "
+                             "ACCESS-OM2 0.25-degree (1440x1080x75)")
+    args = parser.parse_args()
+    nx, ny, nz = (NX, NY, NZ) if args.scale == "1deg" else QUARTER_DEGREE
+
     import jax
     import jax.numpy as jnp
 
@@ -41,11 +52,12 @@ def main():
     from otmb_tpu.ops.stencil_pallas import apply_stencil_pallas
 
     backend = jax.default_backend()
-    print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
+    print(f"# backend={backend} devices={jax.devices()} grid={nx}x{ny}x{nz}",
+          file=sys.stderr)
 
     dtype = np.float32
-    ncells = NX * NY * NZ
-    ds = otmb.synthetic_dataset(nx=NX, ny=NY, nz=NZ, topology="tripolar", seed=0)
+    ncells = nx * ny * nz
+    ds = otmb.synthetic_dataset(nx=nx, ny=ny, nz=nz, topology="tripolar", seed=0)
     gm = otmb.makegridmetrics(
         areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon, lat=ds.lat,
         lev=ds.lev, lon_vertices=ds.lon_vertices, lat_vertices=ds.lat_vertices,
@@ -144,8 +156,9 @@ def main():
 
     t_total = t_assembly + t_pallas
     value = ncells / t_total
+    grid_name = "ACCESS 1° grid" if args.scale == "1deg" else "ACCESS-OM2 0.25° grid"
     print(json.dumps({
-        "metric": "grid-points/s operator assembly+apply on ACCESS 1° grid",
+        "metric": f"grid-points/s operator assembly+apply on {grid_name}",
         "value": value,
         "unit": "grid-points/s",
         "vs_baseline": value / BASELINE_POINTS_PER_S,

@@ -12,9 +12,9 @@ Public API mirrors the reference exports
 """
 
 from .config import TransportConfig
-from .grid.geometry import GridMetrics, makegridmetrics
+from .grid.geometry import GridMetrics, cell_thickness_from_lev_bnds, makegridmetrics
 from .grid.indices import Indices, as2d, as3d, makeindices, wet_vector
-from .grid.topology import GridTopology, detect_topology
+from .grid.topology import GridTopology, detect_topology, shift_values
 from .models.transport import (
     TransportOperators,
     buildTadv,
@@ -43,6 +43,7 @@ from .ops.velocities import (
     velocity2fluxes,
 )
 from .utils.coarsen import lump_and_spray
+from .utils.debugging import enable_nan_debugging, validate_operator
 from .utils.sparse_export import coeffs_to_scipy
 from .utils.synthetic import synthetic_dataset
 
@@ -59,6 +60,9 @@ __all__ = [
     "as3d",
     "GridTopology",
     "detect_topology",
+    "shift_values",
+    "cell_thickness_from_lev_bnds",
+    "validate_operator",
     "TransportOperators",
     "transportmatrix",
     "buildTadv",

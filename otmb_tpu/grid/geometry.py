@@ -33,6 +33,20 @@ EDGE_VERTICES = {
 }
 
 
+def cell_thickness_from_lev_bnds(lev_bnds, ny: int, nx: int):
+    """Cell thickness from level bounds (2, nz) or (nz, 2), broadcast to
+    (nz, ny, nx) — the reference's `cellthickness(lev_bnds::Matrix, ...)`
+    dispatch (gridcellgeometry.jl:236), for datasets without volcello-
+    derived thickness."""
+    lev_bnds = jnp.asarray(lev_bnds)
+    if lev_bnds.ndim != 2 or 2 not in lev_bnds.shape:
+        raise ValueError(f"lev_bnds must be (2, nz) or (nz, 2), got {lev_bnds.shape}")
+    if lev_bnds.shape[0] != 2:
+        lev_bnds = lev_bnds.T
+    thick = jnp.abs(lev_bnds[1] - lev_bnds[0])  # (nz,)
+    return jnp.broadcast_to(thick[:, None, None], (thick.shape[0], ny, nx))
+
+
 def haversine(lon1, lat1, lon2, lat2, radius: float = EARTH_RADIUS):
     """Great-circle distance (m) between (lon, lat) points in degrees.
 

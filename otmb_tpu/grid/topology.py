@@ -111,6 +111,13 @@ def detect_topology(lon_vertices, lat_vertices, nz: int) -> GridTopology:
     ):
         kind = TRIPOLAR
     else:
+        import warnings
+
+        warnings.warn(
+            "Unknown grid topology detected. Things might not work as "
+            "expected. See `detect_topology` to see what failed the checks.",
+            stacklevel=2,
+        )
         kind = UNKNOWN
     return GridTopology(kind=kind, nx=nx, ny=ny, nz=nz)
 
@@ -195,6 +202,49 @@ def neighbor_valid(direction: Direction, topo: GridTopology, ndim: int = 3):
     else:
         raise ValueError(f"unknown direction {direction!r}")
     return jnp.asarray(valid)
+
+
+def shift_values(x, axis: str, n: int, topo: GridTopology, fill=jnp.nan):
+    """Value at the cell `n` steps along `axis` in {"i", "j", "k"}, `fill`
+    where that cell does not exist.
+
+    Array-level counterpart of the reference's ishift/jshift/kshift
+    (gridtopology.jl:72-85): periodic wrap in i; out-of-range j/k filled.
+    For tripolar grids, one step beyond the top row lands on the folded
+    top row itself ((i, ny) -> (nx-1-i, ny)), mirroring jshift's n=+1
+    behavior (gridtopology.jl:97-108); shifts further than one row past
+    the seam are filled.
+    """
+    x = jnp.asarray(x)
+    if n == 0:
+        return x
+    if axis == "i":
+        return jnp.roll(x, -n, axis=-1)
+    if axis == "j":
+        ax = -2
+        ny = x.shape[ax]
+        if abs(n) >= ny:
+            return jnp.full_like(x, fill)
+        if n > 0:
+            shifted = x[..., n:, :]
+            if topo.is_tripolar and n == 1:
+                tail = x[..., -1:, ::-1]
+            else:
+                tail = jnp.full_like(x[..., :n, :], fill)
+            return jnp.concatenate([shifted, tail], axis=ax)
+        head = jnp.full_like(x[..., :(-n), :], fill)
+        return jnp.concatenate([head, x[..., :n, :]], axis=ax)
+    if axis == "k":
+        ax = -3
+        nz = x.shape[ax]
+        if abs(n) >= nz:
+            return jnp.full_like(x, fill)
+        if n > 0:
+            tail = jnp.full_like(x[..., :n, :, :], fill)
+            return jnp.concatenate([x[..., n:, :, :], tail], axis=ax)
+        head = jnp.full_like(x[..., :(-n), :, :], fill)
+        return jnp.concatenate([head, x[..., :n, :, :]], axis=ax)
+    raise ValueError(f"axis must be 'i', 'j', or 'k', got {axis!r}")
 
 
 def scatter_to_neighbor(x, direction: Direction, topo: GridTopology):

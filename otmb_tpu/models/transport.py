@@ -9,6 +9,7 @@ passed in pre-built, as in the reference.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,8 @@ from ..ops.coeffs import (
 )
 from ..ops.fluxes import FaceFluxes
 
+logger = logging.getLogger(__name__)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +51,7 @@ class TransportOperators:
 def buildTadv(*, phi: FaceFluxes, gridmetrics: GridMetrics, indices: Indices,
               rho=RHO_DEFAULT, upwind: bool = True) -> StencilCoeffs:
     """Advection operator (reference buildTadv, matrixbuilding.jl:31-44)."""
+    logger.debug("Building Tadv")
     c = advection_coeffs(phi, gridmetrics, indices.wet3d, rho, upwind=upwind)
     return _checked(c, "Tadv")
 
@@ -55,6 +59,7 @@ def buildTadv(*, phi: FaceFluxes, gridmetrics: GridMetrics, indices: Indices,
 def buildTkH(*, gridmetrics: GridMetrics, indices: Indices,
              kappa_h=KAPPA_H_DEFAULT) -> StencilCoeffs:
     """Horizontal diffusion (reference buildTkappaH, matrixbuilding.jl:51-66)."""
+    logger.debug("Building TkH")
     c = horizontal_diffusion_coeffs(gridmetrics, indices.wet3d, kappa_h)
     return _checked(c, "TkH")
 
@@ -63,6 +68,7 @@ def buildTkVML(*, mlotst, gridmetrics: GridMetrics, indices: Indices,
                kappa_vml=KAPPA_VML_DEFAULT) -> StencilCoeffs:
     """Mixed-layer vertical diffusion (reference buildTkappaVML,
     matrixbuilding.jl:74-95): active where zt[k] < mlotst."""
+    logger.debug("Building TkVML")
     omega = mixed_layer_mask(gridmetrics, mlotst)
     c = vertical_diffusion_coeffs(gridmetrics, indices.wet3d, kappa_vml, omega)
     return _checked(c, "TkVML")
@@ -72,6 +78,7 @@ def buildTkVdeep(*, gridmetrics: GridMetrics, indices: Indices,
                  kappa_vdeep=KAPPA_VDEEP_DEFAULT) -> StencilCoeffs:
     """Background vertical diffusion (reference buildTkappaVdeep,
     matrixbuilding.jl:103-120): whole-ocean mask."""
+    logger.debug("Building TkVdeep")
     c = vertical_diffusion_coeffs(gridmetrics, indices.wet3d, kappa_vdeep, None)
     return _checked(c, "TkVdeep")
 

@@ -80,3 +80,15 @@ def shard_pytree(mesh: Mesh, tree):
 def pspec_tree(tree):
     """Matching pytree of PartitionSpecs (for in_shardings/out_shardings)."""
     return jax.tree_util.tree_map(lambda leaf: field_pspec(np.asarray(leaf).ndim), tree)
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host startup: call once per process before building the mesh.
+
+    Thin wrapper over `jax.distributed.initialize` (coordinator address,
+    process count/index are auto-detected on TPU pods; pass them for other
+    launchers). After this, `jax.devices()` spans the whole slice and
+    `make_grid_mesh()` builds a global ('y', 'x') mesh whose 'x' axis is
+    innermost so x-halo ppermutes ride intra-host ICI.
+    """
+    jax.distributed.initialize(**kwargs)
