@@ -1,0 +1,103 @@
+"""Redi isoneutral diffusion operator: conservation, null space, and the
+zero-slope reduction to horizontal diffusion."""
+
+import numpy as np
+import pytest
+
+from otmb_tpu.models.redi import build_redi_operator, redi_apply
+from otmb_tpu.ops.apply import apply_stencil
+from otmb_tpu.ops.coeffs import horizontal_diffusion_coeffs
+
+
+@pytest.fixture(scope="module")
+def rho(gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    z = np.asarray(gridmetrics.z3d)
+    lon = np.asarray(gridmetrics.lon)
+    lat = np.asarray(gridmetrics.lat)
+    return np.where(
+        wet,
+        1025.0
+        + 0.02 * z
+        + 2e-4 * z * np.cos(2 * np.deg2rad(lon))
+        + 1e-4 * z * np.sin(np.deg2rad(lat)),
+        np.nan,
+    )
+
+
+@pytest.fixture(scope="module")
+def redi_op(rho, gridmetrics, indices):
+    return build_redi_operator(rho, gridmetrics, indices.wet3d, kappa_redi=600.0)
+
+
+def test_conserves_tracer(redi_op, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(0)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    tend = np.asarray(redi_apply(redi_op, chi))
+    assert np.isfinite(tend).all()
+    assert np.all(tend[~wet] == 0.0)
+
+    v = np.where(wet, np.asarray(gridmetrics.v3d), 0.0)
+    total = float((tend * v).sum())
+    scale = float(np.abs(tend * v).sum())
+    assert abs(total) < 1e-10 * max(scale, 1e-300)
+
+
+def test_constant_in_null_space(redi_op, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    chi = np.where(wet, 7.5, 0.0)
+    tend = np.asarray(redi_apply(redi_op, chi))
+    assert np.abs(tend).max() < 1e-12
+
+
+def test_linearity(redi_op, gridmetrics, indices):
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(1)
+    x = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    y = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    lhs = np.asarray(redi_apply(redi_op, 2.0 * x - 3.0 * y))
+    rhs = 2.0 * np.asarray(redi_apply(redi_op, x)) - 3.0 * np.asarray(
+        redi_apply(redi_op, y)
+    )
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-18)
+
+
+def test_zero_slope_reduces_to_horizontal_diffusion(gridmetrics, indices):
+    """With a purely z-dependent density, the slopes vanish and the Redi
+    operator must equal minus the horizontal-diffusion stencil with the
+    same kappa (identical min-face-area and distance rules)."""
+    wet = np.asarray(indices.wet3d)
+    z = np.asarray(gridmetrics.z3d)
+    rho_z = np.where(wet, 1025.0 + 0.02 * z, np.nan)
+    op = build_redi_operator(rho_z, gridmetrics, indices.wet3d, kappa_redi=500.0)
+    assert float(np.abs(np.asarray(op.s_e)).max()) < 1e-12
+    assert float(np.abs(np.asarray(op.s_ti)).max()) < 1e-12
+
+    rng = np.random.default_rng(2)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    tend = np.asarray(redi_apply(op, chi))
+
+    kh = horizontal_diffusion_coeffs(gridmetrics, indices.wet3d, 500.0)
+    expected = -np.asarray(apply_stencil(kh, chi, gridmetrics.topology))
+    np.testing.assert_allclose(tend, expected, rtol=1e-9, atol=1e-12)
+
+
+def test_isoneutral_suppression(rho, redi_op, gridmetrics, indices):
+    """A tracer that is a function of density diffuses far less than a
+    generic tracer of similar gradient magnitude (the whole point of the
+    rotated tensor)."""
+    wet = np.asarray(indices.wet3d)
+    rho_w = np.where(wet, rho, 0.0)
+    aligned = rho_w - np.where(wet, 1025.0, 0.0)  # linear function of rho
+    tend_aligned = np.asarray(redi_apply(redi_op, np.where(wet, aligned, 0.0)))
+
+    # misaligned tracer: pure depth dependence with matched scale
+    z = np.asarray(gridmetrics.z3d)
+    mis = np.where(wet, 0.02 * z, 0.0)
+    tend_mis = np.asarray(redi_apply(redi_op, mis))
+
+    v = np.where(wet, np.asarray(gridmetrics.v3d), 0.0)
+    norm = lambda t: float(np.sqrt((t**2 * v).sum()))
+    # not zero (discrete truncation + taper), but clearly suppressed
+    assert norm(tend_aligned) < 0.8 * norm(tend_mis)
