@@ -20,6 +20,12 @@ if "host_platform_device_count" not in _flags:
 
 import jax
 
+# The env var alone is not enough: the TPU-relay sitecustomize calls
+# jax.config.update('jax_platforms', 'axon') at interpreter start, which
+# overrides JAX_PLATFORMS and can hang every first jax op for minutes when
+# the relay is busy. The config-level override below wins because it runs
+# after the sitecustomize.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
