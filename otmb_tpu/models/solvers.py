@@ -50,7 +50,54 @@ def _jacobi_preconditioner(diag):
     return lambda x: inv * x
 
 
-@partial(jax.jit, static_argnames=("topology", "method", "maxiter", "transpose"))
+def _tridiag_preconditioner(coeffs: StencilCoeffs, shifted_diag):
+    """Vertical-line preconditioner: per-column tridiagonal solve of the
+    operator's vertical part, M = diag(shifted) + T_top + T_bottom.
+
+    The stiff entries of T are the mixed-layer vertical diffusion (kappa
+    ratios of ~1e4 against the background), and they are exactly the
+    tridiagonal k-coupling — so one Thomas sweep per column captures them.
+    nz is small (50-75) and every (j, i) column solves independently, so
+    the scan is a few fully-vectorized passes over (nz, ny, nx).
+    """
+    lower = coeffs.bottom  # couples to k+1
+    upper = coeffs.top  # couples to k-1
+    diag = shifted_diag
+    # Guard land columns (all-zero rows): unit diagonal.
+    diag = jnp.where(diag != 0, diag, 1.0)
+
+    def solve(b):
+        nz = b.shape[0]
+
+        # Thomas forward sweep (vectorized over the trailing (ny, nx)).
+        def fwd(carry, idx):
+            cp_prev, dp_prev = carry
+            k = idx
+            denom = diag[k] - upper[k] * cp_prev
+            denom = jnp.where(denom != 0, denom, 1.0)
+            cp = lower[k] / denom
+            dp = (b[k] - upper[k] * dp_prev) * (1.0 / denom)
+            return (cp, dp), (cp, dp)
+
+        zeros = jnp.zeros_like(b[0])
+        (_, _), (cps, dps) = jax.lax.scan(
+            fwd, (zeros, zeros), jnp.arange(nz)
+        )
+
+        # back substitution
+        def bwd(x_next, idx):
+            k = idx
+            x = dps[k] - cps[k] * x_next
+            return x, x
+
+        _, xs = jax.lax.scan(bwd, zeros, jnp.arange(nz), reverse=True)
+        return xs
+
+    return solve
+
+
+@partial(jax.jit, static_argnames=("topology", "method", "maxiter", "transpose",
+                                   "preconditioner"))
 def solve_shifted(
     coeffs: StencilCoeffs,
     b,
@@ -61,6 +108,7 @@ def solve_shifted(
     method: str = "bicgstab",
     maxiter: int = 2000,
     transpose: bool = False,
+    preconditioner: str = "tridiag",
 ):
     """Solve (shift * I + D_extra + T) x = b matrix-free (T' instead of T
     when `transpose`, for adjoint problems like sequestration time).
@@ -78,7 +126,24 @@ def solve_shifted(
     def a_op(x):
         return shift * x + extra * x + apply(coeffs, x, topology)
 
-    precond = _jacobi_preconditioner(shift + extra + coeffs.diag)
+    shifted_diag = shift + extra + coeffs.diag
+    if preconditioner == "tridiag":
+        if transpose:
+            # Transpose of the vertical tridiagonal: T'[c, above(c)] =
+            # T[above(c), c] = bottom-leg of the cell above, and vice versa.
+            from ..grid.topology import neighbor_values as _nv
+
+            swapped = coeffs._replace(
+                top=_nv(coeffs.bottom, "top", topology, fill=0.0),
+                bottom=_nv(coeffs.top, "bottom", topology, fill=0.0),
+            )
+            precond = _tridiag_preconditioner(swapped, shifted_diag)
+        else:
+            precond = _tridiag_preconditioner(coeffs, shifted_diag)
+    elif preconditioner == "jacobi":
+        precond = _jacobi_preconditioner(shifted_diag)
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
     if method == "bicgstab":
         x, _ = bicgstab(a_op, b, tol=tol, atol=0.0, M=precond, maxiter=maxiter)
