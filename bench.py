@@ -57,38 +57,39 @@ def main():
 
     dtype = np.float32
     ncells = nx * ny * nz
-    ds = otmb.synthetic_dataset(nx=nx, ny=ny, nz=nz, topology="tripolar", seed=0)
-    gm = otmb.makegridmetrics(
-        areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon, lat=ds.lat,
-        lev=ds.lev, lon_vertices=ds.lon_vertices, lat_vertices=ds.lat_vertices,
-        dtype=dtype,
-    )
-    idx = otmb.makeindices(gm.v3d)
-    topo = gm.topology
+    # Generated on device: only O(ny*nx) host data crosses the (slow,
+    # relayed) host<->device link even at 0.25-degree scale.
+    from otmb_tpu.utils.synthetic import synthetic_device_case
 
-    umo = jax.device_put(np.nan_to_num(ds.umo).astype(dtype))
-    vmo = jax.device_put(np.nan_to_num(ds.vmo).astype(dtype))
-    mlotst = jax.device_put(ds.mlotst.astype(dtype))
-    wet = np.asarray(idx.wet3d)
-    chi0 = jax.device_put(np.where(wet, 1.0, 0.0).astype(dtype))
+    gm, wet3d, umo, vmo, mlotst = synthetic_device_case(
+        nx, ny, nz, topology="tripolar", dtype=jnp.float32, seed=0
+    )
+    topo = gm.topology
+    chi0 = jnp.where(wet3d, jnp.float32(1.0), jnp.float32(0.0))
 
     coeffs = jax.jit(
         lambda gm_, wet_, u, v, m: assemble_transport(u, v, m, gm_, wet_).T
-    )(gm, idx.wet3d, umo, vmo, mlotst)
+    )(gm, wet3d, umo, vmo, mlotst)
     jax.block_until_ready(coeffs)
     dt = np.float32(100.0)
 
-    def chain_time(step_fn, x0, nsteps):
-        """Per-step time of a data-dependent in-jit chain."""
+    def chain_time(step_fn, x0, operand, nsteps):
+        """Per-step time of a data-dependent in-jit chain.
+
+        `operand` (the coefficient pytree) is threaded as a jit ARGUMENT:
+        closing over multi-GB device arrays would bake them into the
+        lowered program as constants and ship them through the remote
+        compiler.
+        """
 
         @jax.jit
-        def many(c):
-            return jax.lax.fori_loop(0, nsteps, lambda i, v: step_fn(v), c)
+        def many(c, op_):
+            return jax.lax.fori_loop(0, nsteps, lambda i, v: step_fn(v, op_), c)
 
-        out = many(x0)
+        out = many(x0, operand)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        out = many(x0)
+        out = many(x0, operand)
         jax.block_until_ready(out)
         elapsed = time.perf_counter() - t0
         float(jnp.sum(out))  # scalar fetch proves completion
@@ -96,7 +97,8 @@ def main():
 
     nsteps = 200
     t_pallas = chain_time(
-        lambda c: c - dt * apply_stencil_pallas(coeffs, c, topo), chi0, nsteps
+        lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0, coeffs,
+        nsteps,
     )
     stream_bytes = 9 * ncells * np.dtype(dtype).itemsize
     bw = stream_bytes / t_pallas / 1e9
@@ -112,7 +114,8 @@ def main():
     )
     jax.block_until_ready(coeffs_bf16)
     t_bf16 = chain_time(
-        lambda c: c - dt * apply_stencil_pallas(coeffs_bf16, c, topo), chi0, nsteps
+        lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0,
+        coeffs_bf16, nsteps,
     )
     print(
         f"# pallas euler step (bf16 coefs): {t_bf16*1e6:.0f} us, "
@@ -122,7 +125,7 @@ def main():
     )
 
     t_jnp = chain_time(
-        lambda c: c - dt * apply_stencil(coeffs, c, topo), chi0, nsteps
+        lambda c, cf: c - dt * apply_stencil(cf, c, topo), chi0, coeffs, nsteps
     )
     print(
         f"# jnp euler step:    {t_jnp*1e6:.0f} us "
@@ -134,17 +137,17 @@ def main():
     n_asm = 20
 
     @jax.jit
-    def assemble_chain(u, v, m):
+    def assemble_chain(u, v, m, gm_, wet_):
         def body(i, carry):
-            t = assemble_transport(u * (1.0 + 1e-12 * carry), v, m, gm, idx.wet3d).T
+            t = assemble_transport(u * (1.0 + 1e-12 * carry), v, m, gm_, wet_).T
             return t.diag[0, 0, 0]
 
         return jax.lax.fori_loop(0, n_asm, body, jnp.float32(0.0))
 
-    out = assemble_chain(umo, vmo, mlotst)
+    out = assemble_chain(umo, vmo, mlotst, gm, wet3d)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = assemble_chain(umo, vmo, mlotst)
+    out = assemble_chain(umo, vmo, mlotst, gm, wet3d)
     jax.block_until_ready(out)
     float(out)
     t_assembly = (time.perf_counter() - t0) / n_asm

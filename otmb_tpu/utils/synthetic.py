@@ -98,6 +98,137 @@ def _smooth_field(shape, rng: np.random.Generator, scale: float) -> np.ndarray:
     return scale * out
 
 
+def synthetic_device_case(
+    nx: int,
+    ny: int,
+    nz: int,
+    topology: str = "tripolar",
+    dtype=None,
+    seed: int = 0,
+):
+    """Large-scale benchmark case generated ON DEVICE.
+
+    Returns (gridmetrics, wet3d, umo, vmo, mlotst) with every 3D field
+    created by jnp ops on the default device — only O(ny*nx) host data is
+    transferred. Essential when the host<->device link is slow (e.g. a
+    relayed TPU) or the grid is 0.25-degree scale (10^8 cells).
+
+    The geometry matches `synthetic_dataset` + `makegridmetrics` up to the
+    field-generation RNG (harmonic phases come from numpy, so the *flow*
+    differs from the host path, but the grid/topology/metrics are the
+    same construction).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..grid import geometry as geo
+    from ..grid.topology import detect_topology
+
+    if dtype is None:
+        dtype = jnp.float32
+    if nx % 2 != 0:
+        raise ValueError("nx must be even for the tripolar fold")
+    rng = np.random.default_rng(seed)
+
+    lat_north_edge = {"bipolar": 90.0, "tripolar": 66.0}[topology]
+    lat_edges = np.linspace(-78.0, lat_north_edge, ny + 1)
+    lon_edges = np.linspace(0.0, 360.0, nx + 1)
+
+    vlon = np.zeros((4, ny, nx))
+    vlat = np.zeros((4, ny, nx))
+    vlon[0] = lon_edges[None, :-1]
+    vlon[1] = lon_edges[None, 1:]
+    vlon[2] = lon_edges[None, 1:]
+    vlon[3] = lon_edges[None, :-1]
+    vlat[0] = lat_edges[:-1, None]
+    vlat[1] = lat_edges[:-1, None]
+    vlat[2] = lat_edges[1:, None]
+    vlat[3] = lat_edges[1:, None]
+    if topology == "tripolar":
+        p = np.empty(nx + 1)
+        half = nx // 2
+        p[: half + 1] = 80.0 + np.arange(half + 1) * (180.0 / half)
+        for i in range(half + 1, nx + 1):
+            p[i] = p[nx - i]
+        vlon[3, ny - 1, :] = p[:-1]
+        vlon[2, ny - 1, :] = p[1:]
+        vlat[2:, ny - 1, :] = lat_north_edge
+
+    lon2d = 0.5 * (lon_edges[:-1] + lon_edges[1:])[None, :].repeat(ny, axis=0)
+    lat2d = 0.5 * (lat_edges[:-1] + lat_edges[1:])[:, None].repeat(nx, axis=1)
+
+    thick = _level_thicknesses(nz)
+    lev = np.cumsum(thick) - 0.5 * thick
+    area = _cell_areas(lat_edges, nx)
+    kbot = _seafloor_levels(nx, ny, nz, rng, land_fraction=0.15)
+
+    topo = detect_topology(vlon, vlat, nz)
+
+    # --- device-side 3D fields ---
+    area_d = jnp.asarray(np.where(kbot > 0, area, np.nan), dtype)
+    kbot_d = jnp.asarray(kbot)
+    thick_d = jnp.asarray(thick, dtype).reshape(nz, 1, 1)
+
+    @jax.jit
+    def build_3d(area_, kbot_, thick_):
+        wet = jnp.arange(nz).reshape(nz, 1, 1) < kbot_[None]
+        v3d = jnp.where(wet, area_[None] * thick_, jnp.nan)
+        thk = v3d / area_[None]
+        zbot = jnp.cumsum(thk, axis=0)
+        z3d = zbot - 0.5 * thk
+        # smooth flow harmonics, NaN junk on land like CMIP output
+        k = jnp.arange(nz, dtype=dtype).reshape(nz, 1, 1)
+        j = jnp.arange(ny, dtype=dtype).reshape(1, ny, 1)
+        i = jnp.arange(nx, dtype=dtype).reshape(1, 1, nx)
+        umo = 1e8 * (
+            jnp.cos(2 * jnp.pi * 2 * i / nx + 0.3)
+            * jnp.cos(jnp.pi * 1 * j / ny + 1.1)
+            * jnp.cos(jnp.pi * 2 * k / nz + 0.7)
+            + 0.5 * jnp.cos(2 * jnp.pi * 3 * i / nx + 2.0)
+            * jnp.cos(jnp.pi * 2 * j / ny)
+        )
+        vmo = 1e8 * (
+            jnp.cos(2 * jnp.pi * 1 * i / nx + 1.7)
+            * jnp.cos(jnp.pi * 2 * j / ny + 0.2)
+            * jnp.cos(jnp.pi * 1 * k / nz + 1.9)
+        )
+        if topo.is_tripolar:
+            top = vmo[:, ny - 1, :]
+            vmo = vmo.at[:, ny - 1, :].set(0.5 * (top - top[:, ::-1]))
+        umo = jnp.where(wet, umo, jnp.nan)
+        vmo = jnp.where(wet, vmo, jnp.nan)
+        return wet, v3d, thk, z3d, umo, vmo
+
+    wet, v3d, thk, z3d, umo, vmo = build_3d(area_d, kbot_d, thick_d)
+
+    lon_j = jnp.asarray(lon2d, dtype)
+    lat_j = jnp.asarray(lat2d, dtype)
+    vlon_j = jnp.asarray(vlon, dtype)
+    vlat_j = jnp.asarray(vlat, dtype)
+
+    gm = geo.GridMetrics(
+        area2d=area_d,
+        v3d=v3d,
+        thkcello=thk,
+        lon=lon_j,
+        lat=lat_j,
+        lon_vertices=vlon_j,
+        lat_vertices=vlat_j,
+        z3d=z3d,
+        zt=jnp.asarray(lev, dtype),
+        edge_length=geo.edge_lengths(vlon_j, vlat_j),
+        distance_to_edge=geo.distances_to_edge(lon_j, lat_j, vlon_j, vlat_j),
+        distance_to_neighbour=geo.distances_to_neighbour(lon_j, lat_j, topo),
+        topology=topo,
+    )
+    mlotst = jnp.asarray(
+        np.where(kbot > 0, rng.uniform(15.0, 0.8 * float(lev[-1]), (ny, nx)),
+                 np.nan),
+        dtype,
+    )
+    return gm, wet, umo, vmo, mlotst
+
+
 def synthetic_dataset(
     nx: int = 18,
     ny: int = 14,

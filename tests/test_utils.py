@@ -125,3 +125,46 @@ def test_gm_bolus_composition(dataset, gridmetrics, indices):
                              gridmetrics.topology)
     myr = 1e6 * 365.25 * 24 * 3600
     assert float(d["tau_vol_s"]) / myr > 1e4  # volume conservation survives
+
+
+def test_synthetic_device_case_matches_host_geometry():
+    """Device-generated benchmark case must agree with the host pipeline's
+    geometry, and its assembled operator must satisfy the conservation
+    invariants."""
+    import jax.numpy as jnp
+
+    from otmb_tpu.grid.geometry import makegridmetrics
+    from otmb_tpu.models.transport import assemble_transport
+    from otmb_tpu.ops.apply import operator_diagnostics
+    from otmb_tpu.utils.synthetic import synthetic_dataset, synthetic_device_case
+
+    nx, ny, nz = 24, 16, 8
+    gm_d, wet_d, umo_d, vmo_d, ml_d = synthetic_device_case(
+        nx, ny, nz, topology="tripolar", dtype=jnp.float64, seed=0
+    )
+    ds = synthetic_dataset(nx=nx, ny=ny, nz=nz, topology="tripolar", seed=0)
+    gm_h = makegridmetrics(
+        areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon, lat=ds.lat,
+        lev=ds.lev, lon_vertices=ds.lon_vertices, lat_vertices=ds.lat_vertices,
+    )
+    assert gm_d.topology == gm_h.topology
+    np.testing.assert_array_equal(np.asarray(wet_d), ds.wet3d)
+    np.testing.assert_allclose(
+        np.asarray(gm_d.edge_length.east), np.asarray(gm_h.edge_length.east),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gm_d.v3d)[np.asarray(wet_d)],
+        np.asarray(gm_h.v3d)[ds.wet3d],
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gm_d.z3d)[np.asarray(wet_d)],
+        np.asarray(gm_h.z3d)[ds.wet3d],
+        rtol=1e-12,
+    )
+
+    ops = assemble_transport(umo_d, vmo_d, ml_d, gm_d, wet_d)
+    d = operator_diagnostics(ops.Tadv, gm_d.v3d, wet_d, gm_d.topology)
+    myr = 1e6 * 365.25 * 24 * 3600
+    assert float(d["tau_vol_s"]) / myr > 1e4
