@@ -128,6 +128,21 @@ def detect_topology(lon_vertices, lat_vertices, nz: int) -> GridTopology:
 # ---------------------------------------------------------------------------
 
 
+def _require_known(topo: GridTopology) -> None:
+    """The reference's neighbor functions error on unknown grids
+    (gridtopology.jl:111-116); this is the single equivalent choke point
+    for every array-level neighbor access. `kind` is static metadata, so
+    the check is jit-safe. Users with a bipolar-like grid that failed
+    detection can opt in explicitly via
+    `dataclasses.replace(gm, topology=GridTopology("bipolar", nx, ny, nz))`.
+    """
+    if topo.kind == UNKNOWN:
+        raise ValueError(
+            "Unknown grid type: neighbor access is undefined for grids whose "
+            "topology could not be classified (see detect_topology)."
+        )
+
+
 def _axis(direction: Direction) -> int:
     if direction in ("east", "west"):
         return -1
@@ -148,6 +163,7 @@ def neighbor_values(x, direction: Direction, topo: GridTopology, fill=jnp.nan):
     surface) and "bottom" k+1 (towards the seafloor), matching the
     reference's k₋₁/k₊₁.
     """
+    _require_known(topo)
     x = jnp.asarray(x)
     if direction == "east":
         return jnp.roll(x, -1, axis=-1)
@@ -179,6 +195,7 @@ def neighbor_valid(direction: Direction, topo: GridTopology, ndim: int = 3):
     Mirrors the `nothing`-returning boundaries of the reference neighbor
     functions (gridtopology.jl:57-68,94-95).
     """
+    _require_known(topo)
     if ndim == 3:
         shape = topo.shape3d
     else:
@@ -215,6 +232,7 @@ def shift_values(x, axis: str, n: int, topo: GridTopology, fill=jnp.nan):
     behavior (gridtopology.jl:97-108); shifts further than one row past
     the seam are filled.
     """
+    _require_known(topo)
     x = jnp.asarray(x)
     if n == 0:
         return x
@@ -256,6 +274,7 @@ def scatter_to_neighbor(x, direction: Direction, topo: GridTopology):
     opposite direction except at the tripolar seam, where the fold is its
     own inverse so north/south remain mutually adjoint.
     """
+    _require_known(topo)
     x = jnp.asarray(x)
     if direction == "east":
         return jnp.roll(x, 1, axis=-1)
