@@ -86,16 +86,19 @@ def main():
         def many(c, op_):
             return jax.lax.fori_loop(0, nsteps, lambda i, v: step_fn(v, op_), c)
 
-        out = many(x0, operand)
-        jax.block_until_ready(out)
+        warm = many(x0, operand)
+        jax.block_until_ready(warm)
+        # The timed call takes the warm-up OUTPUT as input: the relay has
+        # been observed deduplicating repeated identical executions, which
+        # fakes the timing; distinct inputs defeat that.
         t0 = time.perf_counter()
-        out = many(x0, operand)
+        out = many(warm, operand)
         jax.block_until_ready(out)
         elapsed = time.perf_counter() - t0
         float(jnp.sum(out))  # scalar fetch proves completion
         return elapsed / nsteps
 
-    nsteps = 200
+    nsteps = 200 if args.scale == "1deg" else 50
     t_pallas = chain_time(
         lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0, coeffs,
         nsteps,
@@ -134,7 +137,7 @@ def main():
     )
 
     # Assembly: dependent chain via a scalar feedback into the inputs.
-    n_asm = 20
+    n_asm = 20 if args.scale == "1deg" else 5
 
     @jax.jit
     def assemble_chain(u, v, m, gm_, wet_):
@@ -147,7 +150,7 @@ def main():
     out = assemble_chain(umo, vmo, mlotst, gm, wet3d)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = assemble_chain(umo, vmo, mlotst, gm, wet3d)
+    out = assemble_chain(umo * (1.0 + 1e-9 * out), vmo, mlotst, gm, wet3d)
     jax.block_until_ready(out)
     float(out)
     t_assembly = (time.perf_counter() - t0) / n_asm

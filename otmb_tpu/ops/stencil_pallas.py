@@ -203,8 +203,171 @@ def _apply_pallas_carry(coeffs: StencilCoeffs, chi, topology: GridTopology,
     )
 
 
+def _stencil_kernel_blocked(
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    chi_in_ref, north_row_ref, south_row_ref, seam_ref,
+    out_ref,
+    chi_scr,
+    *,
+    by: int,
+    nb: int,
+    tripolar: bool,
+    dt: float | None,
+):
+    """j-blocked carry kernel for grids whose full (ny, nx) slab set does
+    not fit VMEM (v5e VMEM is 128 MB; the 0.25-degree slab set is ~167 MB).
+
+    Grid is (nb, nz+1): for each j-block the k levels stream sequentially
+    with the 3-slot chi scratch rotation; the two j-halo rows of chi[k]
+    and the (tripolar) seam row arrive as tiny (1, nx) side streams.
+    """
+    jb = pl.program_id(0)
+    step = pl.program_id(1)
+    k = step - 1
+
+    def slot_select(slot_idx):
+        return jnp.where(
+            slot_idx == 0,
+            chi_scr[0],
+            jnp.where(slot_idx == 1, chi_scr[1], chi_scr[2]),
+        )
+
+    @pl.when(step > 0)
+    def _():
+        chi = slot_select((k + 3) % 3)
+        chi_up = slot_select((k + 2) % 3)
+        chi_up = jnp.where(k > 0, chi_up, 0.0)
+        chi_dn = chi_in_ref[0]
+
+        nx = chi.shape[1]
+        east = pltpu.roll(chi, nx - 1, 1)
+        west = pltpu.roll(chi, 1, 1)
+
+        if tripolar:
+            last_row = jnp.where(jb == nb - 1, seam_ref[0], north_row_ref[0])
+        else:
+            last_row = north_row_ref[0]  # dead at the global top (zero coef)
+        north = jnp.concatenate([chi[1:, :], last_row], axis=0)
+        south = jnp.concatenate([south_row_ref[0], chi[: by - 1, :]], axis=0)
+
+        up = lambda r: r[0].astype(chi.dtype)
+        acc = up(diag_ref) * chi
+        acc += up(e_ref) * east + up(w_ref) * west
+        acc += up(n_ref) * north + up(s_ref) * south
+        acc += up(t_ref) * chi_up + up(b_ref) * chi_dn
+
+        if dt is not None:
+            acc = chi - dt * acc
+        out_ref[0] = acc
+
+    write_slot = step % 3
+    for slot in range(3):
+        @pl.when(write_slot == slot)
+        def _(slot=slot):
+            chi_scr[slot] = chi_in_ref[0]
+
+
+def _pick_j_block(ny: int, nx: int, itemsize: int, budget_bytes: int) -> int:
+    """Largest divisor of ny whose 12-buffer double-buffered working set
+    fits the VMEM budget."""
+    for by in sorted((d for d in range(1, ny + 1) if ny % d == 0), reverse=True):
+        if 12 * by * nx * itemsize * 2 <= budget_bytes:
+            return by
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("topology", "dt_static", "interpret",
+                                              "by_static"))
+def _apply_pallas_blocked(coeffs: StencilCoeffs, chi, topology: GridTopology,
+                          dt_static, interpret: bool, by_static=None):
+    nz, ny, nx = topology.shape3d
+    chi = jnp.asarray(chi)
+    dtype = chi.dtype
+
+    by = by_static if by_static else _pick_j_block(
+        ny, nx, dtype.itemsize, budget_bytes=64 * 1024 * 1024
+    )
+    nb = ny // by
+
+    if topology.is_tripolar:
+        seam = chi[:, ny - 1, ::-1]
+    else:
+        seam = chi[:, ny - 1, :]
+    seam = seam.reshape(nz, 1, nx)
+
+    # Mosaic requires the sublane block dim to divide 8 or equal the array
+    # dim, so the per-block halo rows are pre-gathered into (nz*nb, 1, nx)
+    # arrays (tiny traffic) instead of being row-addressed out of chi.
+    idx_n = jnp.minimum((jnp.arange(nb) + 1) * by, ny - 1)
+    idx_s = jnp.maximum(jnp.arange(nb) * by - 1, 0)
+    north_rows = chi[:, idx_n, :].reshape(nz * nb, 1, nx)
+    south_rows = chi[:, idx_s, :].reshape(nz * nb, 1, nx)
+
+    # index maps take (jb, s); k slab for coefs/out/rows is max(s-1, 0)
+    blk = lambda jb, s: (jnp.maximum(s - 1, 0), jb, 0)
+    blk_in = lambda jb, s: (jnp.minimum(s, nz - 1), jb, 0)
+    row_nb = lambda jb, s: (jnp.maximum(s - 1, 0) * nb + jb, 0, 0)
+    row_seam = lambda jb, s: (jnp.maximum(s - 1, 0), 0, 0)
+
+    def spec(index_map, block):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _stencil_kernel_blocked,
+        by=by, nb=nb, tripolar=topology.is_tripolar, dt=dt_static,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nz + 1),
+        in_specs=[spec(blk, (1, by, nx))] * 7
+        + [
+            spec(blk_in, (1, by, nx)),
+            spec(row_nb, (1, 1, nx)),
+            spec(row_nb, (1, 1, nx)),
+            spec(row_seam, (1, 1, nx)),
+        ],
+        out_specs=spec(blk, (1, by, nx)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        scratch_shapes=[pltpu.VMEM((3, by, nx), dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * nz * ny * nx,
+            bytes_accessed=9 * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+        coeffs.south, coeffs.top, coeffs.bottom, chi, north_rows,
+        south_rows, seam.astype(dtype),
+    )
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+_FULL_SLAB_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _resolve_variant(variant: str, topology: GridTopology, itemsize: int) -> str:
+    """'auto' picks the full-slab carry kernel when a k-slab working set
+    fits VMEM, else the j-blocked kernel (needed at 0.25-degree scale)."""
+    if variant != "auto":
+        return variant
+    _, ny, nx = topology.shape3d
+    full_set = 12 * ny * nx * itemsize * 2
+    return "carry" if full_set <= _FULL_SLAB_VMEM_BUDGET else "blocked"
+
+
+_IMPLS = {
+    "simple": _apply_pallas,
+    "carry": _apply_pallas_carry,
+    "blocked": _apply_pallas_blocked,
+}
 
 
 def apply_stencil_pallas(
@@ -212,19 +375,25 @@ def apply_stencil_pallas(
     chi,
     topology: GridTopology,
     interpret: bool | None = None,
-    variant: str = "carry",
+    variant: str = "auto",
+    by_static: int | None = None,
 ):
     """y = T @ chi via the fused Pallas kernel.
 
     `interpret=None` auto-selects interpreter mode off-TPU so the kernel
-    stays testable on the CPU backend. `variant`: "carry" (default —
-    chi streamed once, k-slabs carried in VMEM scratch) or "simple"
-    (chi streamed three times; kept as a fallback/reference kernel).
+    stays testable on the CPU backend. `variant`: "auto" (default),
+    "carry" (full k-slabs, chi streamed once via VMEM scratch rotation),
+    "blocked" (j-blocked for grids whose slab set exceeds VMEM), or
+    "simple" (chi streamed three times; fallback/reference kernel).
     """
     if interpret is None:
         interpret = _default_interpret()
-    impl = _apply_pallas_carry if variant == "carry" else _apply_pallas
-    return impl(coeffs, chi, topology, None, interpret)
+    chi = jnp.asarray(chi)
+    v = _resolve_variant(variant, topology, chi.dtype.itemsize)
+    if v == "blocked":
+        return _apply_pallas_blocked(coeffs, chi, topology, None, interpret,
+                                     by_static)
+    return _IMPLS[v](coeffs, chi, topology, None, interpret)
 
 
 def euler_step_pallas(
@@ -233,11 +402,16 @@ def euler_step_pallas(
     dt: float,
     topology: GridTopology,
     interpret: bool | None = None,
-    variant: str = "carry",
+    variant: str = "auto",
+    by_static: int | None = None,
 ):
     """chi - dt * T @ chi in a single fused kernel (no extra HBM pass for
     the AXPY)."""
     if interpret is None:
         interpret = _default_interpret()
-    impl = _apply_pallas_carry if variant == "carry" else _apply_pallas
-    return impl(coeffs, chi, topology, float(dt), interpret)
+    chi = jnp.asarray(chi)
+    v = _resolve_variant(variant, topology, chi.dtype.itemsize)
+    if v == "blocked":
+        return _apply_pallas_blocked(coeffs, chi, topology, float(dt),
+                                     interpret, by_static)
+    return _IMPLS[v](coeffs, chi, topology, float(dt), interpret)

@@ -103,3 +103,29 @@ def test_pallas_bf16_coefficients(ops, gridmetrics, indices, variant):
     # bf16 has ~3 significant decimal digits
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out / scale, ref / scale, atol=2e-2)
+
+
+@pytest.mark.parametrize("by", [1, 2, 7])
+def test_pallas_blocked_variant(ops, gridmetrics, indices, by):
+    """j-blocked kernel (multi-block, incl. non-even halo rows) must match
+    the reference apply; ny=14 so by=7 gives 2 blocks, by=2 gives 7."""
+    if gridmetrics.topology.ny % by:
+        pytest.skip("by must divide ny")
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(5)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    ref = np.asarray(apply_stencil(ops.T, chi, gridmetrics.topology))
+    out = np.asarray(
+        apply_stencil_pallas(
+            ops.T, chi, gridmetrics.topology, interpret=True,
+            variant="blocked", by_static=by,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-13)
+    out2 = np.asarray(
+        euler_step_pallas(
+            ops.T, chi, 50.0, gridmetrics.topology, interpret=True,
+            variant="blocked", by_static=by,
+        )
+    )
+    np.testing.assert_allclose(out2, chi - 50.0 * ref, rtol=1e-12, atol=1e-11)
