@@ -1,0 +1,161 @@
+"""Multichip hot path: ppermute halo exchange + shard-local Pallas stencil.
+
+GSPMD cannot auto-partition a Pallas custom call, so the sharded jnp path
+(parallel/halo.py) is used for correctness while this module provides the
+production combination: the same 1-cell halo exchange (periodic x,
+tripolar mirror-shard fold) feeding a *shard-local* fused stencil kernel.
+Inside the shard the domain is a plain open box — the seam and the
+periodic wrap live entirely in the exchanged halos — so the kernel works
+on local slabs plus four tiny halo streams (north/south rows, east/west
+columns).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..grid.topology import GridTopology
+from ..ops.coeffs import StencilCoeffs
+from .halo import _halo_exchange
+
+
+def _stencil_kernel_local(
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    chi_ref, chi_up_ref, chi_dn_ref,
+    n_row_ref, s_row_ref, e_col_ref, w_col_ref,
+    out_ref,
+    *,
+    dt: float | None,
+):
+    chi = chi_ref[0]
+    ny_l, nx_l = chi.shape
+
+    # lane shifts with the shard-boundary columns patched in
+    east0 = pltpu.roll(chi, nx_l - 1, 1)
+    west0 = pltpu.roll(chi, 1, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ny_l, nx_l), 1)
+    east = jnp.where(col == nx_l - 1, e_col_ref[0], east0)
+    west = jnp.where(col == 0, w_col_ref[0], west0)
+
+    north = jnp.concatenate([chi[1:, :], n_row_ref[0]], axis=0)
+    south = jnp.concatenate([s_row_ref[0], chi[: ny_l - 1, :]], axis=0)
+
+    up = lambda r: r[0].astype(chi.dtype)
+    acc = up(diag_ref) * chi
+    acc += up(e_ref) * east + up(w_ref) * west
+    acc += up(n_ref) * north + up(s_ref) * south
+    acc += up(t_ref) * chi_up_ref[0] + up(b_ref) * chi_dn_ref[0]
+
+    if dt is not None:
+        acc = chi - dt * acc
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("dt_static", "interpret"))
+def _local_pallas_apply(coeffs_local, chi_local, halos, dt_static,
+                        interpret: bool):
+    nz, ny_l, nx_l = chi_local.shape
+    dtype = chi_local.dtype
+    east_h, west_h, north_h, south_h = halos  # (nz,ny_l,1) x2, (nz,1,nx_l) x2
+
+    slab = lambda k: (k, 0, 0)
+    slab_up = lambda k: (jnp.maximum(k - 1, 0), 0, 0)
+    slab_dn = lambda k: (jnp.minimum(k + 1, nz - 1), 0, 0)
+
+    def spec(index_map, block):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_stencil_kernel_local, dt=dt_static)
+    full = (1, ny_l, nx_l)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[spec(slab, full)] * 7
+        + [spec(slab, full), spec(slab_up, full), spec(slab_dn, full)]
+        + [
+            spec(slab, (1, 1, nx_l)),  # north row
+            spec(slab, (1, 1, nx_l)),  # south row
+            spec(slab, (1, ny_l, 1)),  # east col
+            spec(slab, (1, ny_l, 1)),  # west col
+        ],
+        out_specs=spec(slab, full),
+        out_shape=jax.ShapeDtypeStruct((nz, ny_l, nx_l), dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        coeffs_local.diag, coeffs_local.east, coeffs_local.west,
+        coeffs_local.north, coeffs_local.south, coeffs_local.top,
+        coeffs_local.bottom, chi_local, chi_local, chi_local,
+        north_h.astype(dtype), south_h.astype(dtype),
+        east_h.astype(dtype), west_h.astype(dtype),
+    )
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def apply_stencil_halo_pallas(
+    coeffs: StencilCoeffs,
+    chi,
+    topology: GridTopology,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """y = T @ chi: ppermute halos + per-shard fused Pallas kernel."""
+    return _halo_pallas(coeffs, jnp.asarray(chi), topology, mesh, None,
+                        interpret)
+
+
+def euler_propagate_halo_pallas(
+    coeffs: StencilCoeffs,
+    chi,
+    dt: float,
+    nsteps: int,
+    topology: GridTopology,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """nsteps of chi - dt*T@chi with the halo exchange and the Pallas
+    kernel inside one shard_map region (no per-step resharding)."""
+    return _halo_pallas(coeffs, jnp.asarray(chi), topology, mesh,
+                        (float(dt), int(nsteps)), interpret)
+
+
+def _halo_pallas(coeffs, chi, topology, mesh, dt_steps, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    spec3 = P(None, "y", "x")
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: spec3, coeffs), spec3),
+        out_specs=spec3,
+        # pallas_call outputs carry no varying-mesh-axis metadata
+        check_vma=False,
+    )
+    def _run(coeffs_local, chi_local):
+        def one(c, fused_dt):
+            halos = _halo_exchange(c, topology, mesh)
+            return _local_pallas_apply(coeffs_local, c, halos, fused_dt,
+                                       interpret)
+
+        if dt_steps is None:
+            return one(chi_local, None)
+        dt, nsteps = dt_steps
+        return jax.lax.fori_loop(
+            0, nsteps, lambda i, c: one(c, dt), chi_local
+        )
+
+    return _run(coeffs, chi)

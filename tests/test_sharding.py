@@ -160,3 +160,41 @@ def test_field_pspec():
     assert field_pspec(3) == jax.sharding.PartitionSpec(None, "y", "x")
     assert field_pspec(2) == jax.sharding.PartitionSpec("y", "x")
     assert field_pspec(1) == jax.sharding.PartitionSpec()
+
+
+def test_halo_pallas_matches_reference(mesh, dataset, gridmetrics, indices):
+    """Multichip hot path: halo exchange + shard-local Pallas kernel
+    (interpret mode on the CPU mesh) must equal the dense apply."""
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+    from otmb_tpu.parallel.halo_pallas import (
+        apply_stencil_halo_pallas,
+        euler_propagate_halo_pallas,
+    )
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics, indices=indices
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics, indices=indices
+    )
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(13)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    topo = gridmetrics.topology
+
+    ref = np.asarray(apply_stencil(ops.T, chi, topo))
+
+    coeffs_sh = shard_pytree(mesh, ops.T)
+    chi_sh = jax.device_put(chi, sharding_for(mesh, chi))
+    out = apply_stencil_halo_pallas(coeffs_sh, chi_sh, topo, mesh,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-12)
+
+    from otmb_tpu.models.solvers import explicit_euler_propagate
+
+    ref_prop = np.asarray(explicit_euler_propagate(ops.T, chi, 250.0, 8, topo))
+    out_prop = euler_propagate_halo_pallas(coeffs_sh, chi_sh, 250.0, 8, topo,
+                                           mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_prop), ref_prop, rtol=1e-11,
+                               atol=1e-11)
