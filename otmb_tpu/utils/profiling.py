@@ -96,6 +96,38 @@ def stencil_bytes(shape3d, dtype_bytes: int = 4, streams: int = 9) -> int:
     return streams * nz * ny * nx * dtype_bytes
 
 
+def halo_comm_model(topology, mesh_shape: tuple[int, int],
+                    dtype_bytes: int = 4,
+                    ici_gbps: float = 100.0,
+                    hbm_gbps: float = 590.0) -> dict:
+    """Analytical comm/compute model for the halo-exchanged stencil step.
+
+    Per step each shard moves 2*(nx_local + ny_local)*nz halo cells over
+    ICI while streaming ~9 full local slabs from HBM; with ICI bandwidth
+    ~100 GB/s/link (v5e) vs the measured ~590 GB/s practical HBM rate the
+    halo fraction predicts scaling efficiency on a slice (halos riding
+    ICI, no DCN). The `bytes` ratio is mesh-size dependent:
+    comm/compute ~ (perimeter/area) * (hbm/ici).
+    """
+    nz, ny, nx = topology.shape3d
+    ny_dev, nx_dev = mesh_shape
+    ny_l, nx_l = ny // ny_dev, nx // nx_dev
+    halo_bytes = 2 * (nx_l + ny_l) * nz * dtype_bytes
+    interior_bytes = 9 * nz * ny_l * nx_l * dtype_bytes
+    t_comm = halo_bytes / (ici_gbps * 1e9)
+    t_comp = interior_bytes / (hbm_gbps * 1e9)
+    overlap_eff = t_comp / max(t_comp, t_comm)  # with full comm/comp overlap
+    serial_eff = t_comp / (t_comp + t_comm)  # without overlap
+    return {
+        "halo_bytes_per_step": halo_bytes,
+        "interior_bytes_per_step": interior_bytes,
+        "t_comm_s": t_comm,
+        "t_compute_s": t_comp,
+        "scaling_efficiency_overlapped": overlap_eff,
+        "scaling_efficiency_serial": serial_eff,
+    }
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace (view in TensorBoard / XProf)."""
