@@ -88,17 +88,24 @@ def main():
 
         warm = many(x0, operand)
         jax.block_until_ready(warm)
-        # The timed call takes the warm-up OUTPUT as input: the relay has
-        # been observed deduplicating repeated identical executions, which
-        # fakes the timing; distinct inputs defeat that.
+        # Relay quirks defeated two ways: (1) the timed call takes the
+        # warm-up OUTPUT as input (the relay deduplicates repeated
+        # identical executions); (2) the timed window INCLUDES a scalar
+        # fetch, because block_until_ready has been observed returning at
+        # enqueue — the separately measured fetch round-trip is then
+        # subtracted.
+        t0 = time.perf_counter()
+        rtt_probe = float(jnp.sum(warm))
+        rtt = time.perf_counter() - t0
+
         t0 = time.perf_counter()
         out = many(warm, operand)
-        jax.block_until_ready(out)
-        elapsed = time.perf_counter() - t0
-        float(jnp.sum(out))  # scalar fetch proves completion
-        return elapsed / nsteps
+        checksum = float(jnp.sum(out))
+        elapsed = time.perf_counter() - t0 - rtt
+        assert checksum == checksum  # non-NaN
+        return max(elapsed, 1e-9) / nsteps
 
-    nsteps = 200 if args.scale == "1deg" else 50
+    nsteps = 200 if args.scale == "1deg" else 100
     t_pallas = chain_time(
         lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0, coeffs,
         nsteps,
@@ -150,10 +157,11 @@ def main():
     out = assemble_chain(umo, vmo, mlotst, gm, wet3d)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
+    rtt = (float(out), time.perf_counter() - t0)[1]
+    t0 = time.perf_counter()
     out = assemble_chain(umo * (1.0 + 1e-9 * out), vmo, mlotst, gm, wet3d)
-    jax.block_until_ready(out)
-    float(out)
-    t_assembly = (time.perf_counter() - t0) / n_asm
+    float(out)  # fetch inside the timed window (see chain_time)
+    t_assembly = max(time.perf_counter() - t0 - rtt, 1e-9) / n_asm
     print(
         f"# assembly: {t_assembly*1e3:.2f} ms "
         f"({ncells/t_assembly/1e9:.2f} G grid-points/s)",

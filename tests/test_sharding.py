@@ -198,3 +198,46 @@ def test_halo_pallas_matches_reference(mesh, dataset, gridmetrics, indices):
                                            mesh, interpret=True)
     np.testing.assert_allclose(np.asarray(out_prop), ref_prop, rtol=1e-11,
                                atol=1e-11)
+
+
+def test_sharded_ideal_age_and_redi(mesh, dataset, gridmetrics, indices):
+    """The Krylov ideal-age solve and the Redi operator run unchanged over
+    sharded inputs (GSPMD) and agree with the single-device results."""
+    from otmb_tpu.models.redi import build_redi_operator, redi_apply
+    from otmb_tpu.models.solvers import ideal_age
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics, indices=indices
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics, indices=indices
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+
+    ref_age, _ = ideal_age(ops.T, indices.wet3d, topo, tol=1e-11)
+    coeffs_sh = shard_pytree(mesh, ops.T)
+    wet_sh = jax.device_put(indices.wet3d, sharding_for(mesh, indices.wet3d))
+    age_sh, res = ideal_age(coeffs_sh, wet_sh, topo, tol=1e-11)
+    assert float(res) < 1e-7
+    np.testing.assert_allclose(
+        np.asarray(age_sh)[wet], np.asarray(ref_age)[wet], rtol=1e-6, atol=1e-3
+    )
+
+    # Redi operator sharded
+    z = np.asarray(gridmetrics.z3d)
+    lon = np.asarray(gridmetrics.lon)
+    rho = np.where(wet, 1025.0 + 0.02 * z + 2e-4 * z * np.cos(2 * np.deg2rad(lon)),
+                   np.nan)
+    op = build_redi_operator(rho, gridmetrics, indices.wet3d)
+    rng = np.random.default_rng(3)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    ref = np.asarray(redi_apply(op, chi))
+
+    op_sh = shard_pytree(mesh, op)
+    chi_sh = jax.device_put(chi, sharding_for(mesh, chi))
+    out = redi_apply(op_sh, chi_sh)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10, atol=1e-12)
