@@ -29,7 +29,6 @@ import numpy as np
 
 NX, NY, NZ = 360, 300, 50
 BASELINE_POINTS_PER_S = (NX * NY * NZ) / 3.0
-V5E_HBM_GBPS = 819.0  # TPU v5e peak HBM bandwidth
 
 #: ACCESS-OM2 0.25-degree size (SURVEY section 7 scale-out config).
 QUARTER_DEGREE = (1440, 1080, 75)
@@ -74,36 +73,69 @@ def main():
     dt = np.float32(100.0)
 
     def chain_time(step_fn, x0, operand, nsteps):
-        """Per-step time of a data-dependent in-jit chain.
+        """Per-step time of a data-dependent in-jit chain, by slope.
+
+        The TPU is reached through a relay whose dispatch/fetch round-trip
+        is large and NOISY (single-sample RTT subtraction has produced
+        negative elapsed times here). So: time the same chain at two
+        lengths, n and 4n, each window ending in a scalar fetch. The
+        difference cancels every fixed cost (dispatch, relay RTT, the sum
+        + fetch) exactly, leaving 3n steps of pure device time.
 
         `operand` (the coefficient pytree) is threaded as a jit ARGUMENT:
         closing over multi-GB device arrays would bake them into the
         lowered program as constants and ship them through the remote
-        compiler.
+        compiler. Inputs differ between timed calls so a deduplicating
+        relay cannot replay a cached execution.
         """
 
-        @jax.jit
-        def many(c, op_):
-            return jax.lax.fori_loop(0, nsteps, lambda i, v: step_fn(v, op_), c)
+        from functools import partial
 
-        warm = many(x0, operand)
-        jax.block_until_ready(warm)
-        # Relay quirks defeated two ways: (1) the timed call takes the
-        # warm-up OUTPUT as input (the relay deduplicates repeated
-        # identical executions); (2) the timed window INCLUDES a scalar
-        # fetch, because block_until_ready has been observed returning at
-        # enqueue — the separately measured fetch round-trip is then
-        # subtracted.
-        t0 = time.perf_counter()
-        rtt_probe = float(jnp.sum(warm))
-        rtt = time.perf_counter() - t0
+        @partial(jax.jit, static_argnums=2)
+        def many(c, op_, n):
+            return jax.lax.fori_loop(0, n, lambda i, v: step_fn(v, op_), c)
 
-        t0 = time.perf_counter()
-        out = many(warm, operand)
-        checksum = float(jnp.sum(out))
-        elapsed = time.perf_counter() - t0 - rtt
-        assert checksum == checksum  # non-NaN
-        return max(elapsed, 1e-9) / nsteps
+        state = many(x0, operand, nsteps)  # warm-up/compile n
+        state = many(state, operand, 4 * nsteps)  # warm-up/compile 4n
+        float(jnp.sum(state))
+
+        # The relay caches (executable, inputs) pairs — and chains can
+        # converge to a bitwise fixed point, after which "evolving" state
+        # repeats and calls return from cache at impossible speeds. So
+        # every timed call first perturbs the state by a distinct,
+        # host-chosen float32-visible factor (the perturbation cost is a
+        # fixed per-call term and cancels in the slope).
+        k = [0]
+        proc_jitter = np.float32(1.0 + 1e-4 * np.random.default_rng().random())
+
+        def run(c, n):
+            k[0] += 1
+            c = c * (proc_jitter * np.float32(1.0 + 1e-4 * k[0]))
+            t0 = time.perf_counter()
+            out = many(c, operand, n)
+            checksum = float(jnp.sum(out))
+            assert checksum == checksum  # non-NaN
+            return time.perf_counter() - t0, out
+
+        slopes = []
+        for _ in range(3):
+            t1, state = run(state, nsteps)
+            t4, state = run(state, 4 * nsteps)
+            slopes.append((t4 - t1) / (3 * nsteps))
+        return max(float(np.median(slopes)), 1e-9)
+
+    # Self-calibrated streaming roofline: per-step time of a pure
+    # elementwise read+write chain on a 256 MB array, timed the same way.
+    # The calibration body must never reach a bitwise fixed point (see
+    # chain_time): multiply by a factor slightly above 1 so values keep
+    # drifting upward through distinct floats.
+    cal = jnp.ones((64, 1024, 1024), jnp.float32)
+    t_cal = chain_time(
+        lambda c, s: c * s, cal, np.float32(1.0000004), 50
+    )
+    hbm_gbps = 2 * cal.size * 4 / t_cal / 1e9
+    print(f"# measured streaming HBM bandwidth: {hbm_gbps:.0f} GB/s",
+          file=sys.stderr)
 
     nsteps = 200 if args.scale == "1deg" else 100
     t_pallas = chain_time(
@@ -114,7 +146,8 @@ def main():
     bw = stream_bytes / t_pallas / 1e9
     print(
         f"# pallas euler step: {t_pallas*1e6:.0f} us, {1/t_pallas:.0f} steps/s, "
-        f"{bw:.0f} GB/s effective ({100*bw/V5E_HBM_GBPS:.0f}% of v5e HBM peak)",
+        f"{bw:.0f} GB/s effective ({100*bw/hbm_gbps:.0f}% of measured "
+        f"streaming peak)",
         file=sys.stderr,
     )
 
@@ -143,25 +176,45 @@ def main():
         file=sys.stderr,
     )
 
-    # Assembly: dependent chain via a scalar feedback into the inputs.
-    n_asm = 20 if args.scale == "1deg" else 5
+    # Assembly: dependent chain via a scalar feedback into the inputs,
+    # timed by the same two-length slope method as chain_time.
+    from functools import partial
 
-    @jax.jit
-    def assemble_chain(u, v, m, gm_, wet_):
+    n_asm = 20 if args.scale == "1deg" else 3
+
+    @partial(jax.jit, static_argnums=5)
+    def assemble_chain(u, v, m, gm_, wet_, n):
         def body(i, carry):
             t = assemble_transport(u * (1.0 + 1e-12 * carry), v, m, gm_, wet_).T
             return t.diag[0, 0, 0]
 
-        return jax.lax.fori_loop(0, n_asm, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    out = assemble_chain(umo, vmo, mlotst, gm, wet3d)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    rtt = (float(out), time.perf_counter() - t0)[1]
-    t0 = time.perf_counter()
-    out = assemble_chain(umo * (1.0 + 1e-9 * out), vmo, mlotst, gm, wet3d)
-    float(out)  # fetch inside the timed window (see chain_time)
-    t_assembly = max(time.perf_counter() - t0 - rtt, 1e-9) / n_asm
+    float(assemble_chain(umo, vmo, mlotst, gm, wet3d, n_asm))
+    float(assemble_chain(umo, vmo, mlotst, gm, wet3d, 4 * n_asm))
+
+    # Distinct host-chosen input scaling per call: a float32-visible
+    # perturbation so the relay's execution cache never sees a repeated
+    # input buffer (scalar feedback alone can round away in f32).
+    # Per-process jitter so no two bench processes ever submit the same
+    # input buffers (the relay's execution cache may outlive a process).
+    jitter = np.float32(1.0 + 1e-4 * np.random.default_rng().random())
+    call_idx = [0]
+
+    def run_asm(n):
+        call_idx[0] += 1
+        u = umo * (jitter * np.float32(1.0 + 1e-5 * call_idx[0]))
+        t0 = time.perf_counter()
+        r = float(assemble_chain(u, vmo, mlotst, gm, wet3d, n))
+        assert r == r
+        return time.perf_counter() - t0
+
+    slopes = []
+    for _ in range(5):
+        t1 = run_asm(n_asm)
+        t4 = run_asm(4 * n_asm)
+        slopes.append((t4 - t1) / (3 * n_asm))
+    t_assembly = max(float(np.median(slopes)), 1e-9)
     print(
         f"# assembly: {t_assembly*1e3:.2f} ms "
         f"({ncells/t_assembly/1e9:.2f} G grid-points/s)",
