@@ -31,6 +31,7 @@ from .models.solvers import (
     sequestration_time,
 )
 from .models.transport import assemble_transport
+from .ops.assemble_pallas import assemble_T_pallas
 from .ops.apply import apply_stencil, apply_stencil_transpose, operator_diagnostics
 from .ops.coeffs import StencilCoeffs, add_coeffs
 from .ops.fluxes import FaceFluxes, facefluxes, facefluxesfrommasstransport
@@ -85,6 +86,7 @@ __all__ = [
     "apply_stencil_pallas",
     "euler_step_pallas",
     "assemble_transport",
+    "assemble_T_pallas",
     "explicit_euler_propagate",
     "implicit_euler_step",
     "ideal_age",

@@ -1,0 +1,401 @@
+"""Fused Pallas TPU kernel for whole-operator assembly.
+
+Builds the seven stencil legs of T = Tadv + TkH + TkVML + TkVdeep directly
+from raw transports in ONE bottom-up k-sweep, instead of the ~dozen fused
+XLA passes of `assemble_transport` (models/transport.py). Per k level the
+kernel
+
+  * sanitizes and no-flux-masks umo/vmo, derives west/south faces by lane
+    roll / sublane shift (reference velocities.jl:190-224);
+  * closes the vertical fluxes by mass conservation, carrying the suffix
+    sum  phi_top[k] = sum_{k' >= k} (W+S-E-N)[k']  in a VMEM scratch slab
+    (the reference's sequential k-sweep, velocities.jl:236-243 — here it
+    rides along the kernel's k-grid for free);
+  * forms the upwind/centered advection legs incl. the donor-side
+    diagonal and the tripolar-seam north outflux
+    (matrixbuilding.jl:226-299, see ops/coeffs.py for the cell-local
+    re-derivation);
+  * adds horizontal diffusion with the min-face-area rule and the
+    seam's oppdir==north case (matrixbuilding.jl:337-418);
+  * adds mixed-layer + deep vertical diffusion (matrixbuilding.jl:438-479)
+    from per-level 1/dz rows packed outside the kernel.
+
+HBM traffic: 4 input slabs (umo, vmo, v3d at k and k-1) + 7 output slabs
+per cell, plus O(ny*nx) resident 2D metric fields fetched once (constant
+block index) — ~2x less than the XLA pass pipeline, which must
+materialize the log-depth cumsum of the vertical closure.
+
+Cross-seam / i-reversed rows (Mosaic has no in-kernel lane reversal) are
+precomputed outside and streamed as (nz, 1, nx) side inputs, as in
+ops/stencil_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import (
+    KAPPA_H_DEFAULT,
+    KAPPA_VDEEP_DEFAULT,
+    KAPPA_VML_DEFAULT,
+    RHO_DEFAULT,
+)
+from ..grid.geometry import GridMetrics
+from ..grid.topology import GridTopology
+from .coeffs import StencilCoeffs
+
+logger = logging.getLogger(__name__)
+
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _assembly_kernel(
+    # streamed slabs
+    umo_ref, vmo_ref, v3d_ref, v3dup_ref,
+    # (1, nx) side rows per k
+    advseam_ref, wetseam_ref, ahnseam_ref,
+    # (8, nx) per-k packed scalars
+    kpack_ref,
+    # resident 2D fields
+    ele_ref, elw_ref, eln_ref, els_ref,
+    khde_ref, khdw_ref, khdn_ref, khds_ref,
+    areac_ref, inva_ref, ml_ref,
+    # outputs: the 7 legs of T
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    # scratch
+    carry_scr, prevwet_scr,
+    *,
+    nz: int,
+    ny: int,
+    rho: float,
+    upwind: bool,
+):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        carry_scr[...] = jnp.zeros_like(carry_scr)
+        prevwet_scr[...] = jnp.zeros_like(prevwet_scr)
+
+    @pl.when(s > 0)
+    def _():
+        k = nz - s  # bottom-up sweep: step 1 handles the seafloor level
+        v = v3d_ref[0]
+        dtype = v.dtype
+        nx = v.shape[1]
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+
+        # All masking is MULTIPLICATIVE on guaranteed-finite operands (one
+        # divide and a handful of selects per cell — the kernel is
+        # otherwise compute-bound, not bandwidth-bound): land volumes are
+        # NaN by convention, so v is first replaced by 1 on land and the
+        # 0/1 wet factor carries the mask.
+        wet = v == v  # finite(v3d) — land is NaN by convention
+        wetf = jnp.where(wet, one, zero)
+        vu = v3dup_ref[0]
+        wetuf = jnp.where(vu == vu, one, zero)
+        vclean = jnp.where(wet, v, one)
+        inv_v = wetf / vclean  # exact 0 on land; the kernel's only divide
+
+        if upwind:
+            pos = lambda x: jnp.maximum(x, zero)
+            neg = lambda x: -jnp.minimum(x, zero)
+        else:
+            pos = lambda x: x * 0.5
+            neg = lambda x: x * -0.5
+
+        # --- face fluxes (velocities.jl:190-243) -----------------------
+        sanitize = lambda x: jnp.where(x == x, x, zero)
+        wetf_e = pltpu.roll(wetf, nx - 1, 1)  # wet at i+1
+        wetf_n = jnp.concatenate([wetf[1:, :], wetseam_ref[0]], axis=0)
+        mask_e = wetf * wetf_e
+        mask_n = wetf * wetf_n
+        phi_e = sanitize(umo_ref[0]) * mask_e
+        phi_n = sanitize(vmo_ref[0]) * mask_n
+
+        phi_w = pltpu.roll(phi_e, 1, 1)  # east flux of the i-1 neighbor
+        phi_s = jnp.concatenate(
+            [jnp.zeros((1, nx), dtype), phi_n[: ny - 1, :]], axis=0
+        )
+
+        phi_b = carry_scr[...]  # phi_top[k+1]; zero at the seafloor
+        phi_t = phi_b + (phi_w + phi_s - phi_e - phi_n)
+        carry_scr[...] = phi_t
+
+        # Surface top face skipped (evaporation/precipitation,
+        # matrixbuilding.jl:290).
+        not_surf = jnp.where(k > 0, one, zero)
+
+        # --- advection legs (matrixbuilding.jl:226-299) ------------------
+        inv_m = inv_v * dtype.type(1.0 / rho)
+
+        in_e, in_w = neg(phi_e), pos(phi_w)
+        in_n, in_s = neg(phi_n), pos(phi_s)
+        in_b = pos(phi_b)
+        in_t = not_surf * neg(phi_t)
+
+        out_n = jnp.concatenate(
+            [pos(phi_n)[: ny - 1, :], advseam_ref[0]], axis=0
+        )
+        out_sum = (
+            pos(phi_e) + neg(phi_w) + neg(phi_s) + out_n
+            + neg(phi_b) + not_surf * pos(phi_t)
+        )
+
+        # --- horizontal diffusion (matrixbuilding.jl:337-418) ------------
+        # tval_d = kappa_h * min(a_own, a_nb) / (dist * V); kappa_h/dist is
+        # the precomputed khd (0 where no neighbor), thickness uses the
+        # land-cleaned volume so every operand is finite and the wet-pair
+        # product carries the mask.
+        thk = vclean * inva_ref[...]
+        p_e = thk * ele_ref[...]
+        p_w = thk * elw_ref[...]
+        p_n = thk * eln_ref[...]
+        p_s = thk * els_ref[...]
+
+        wetf_w = pltpu.roll(wetf, 1, 1)
+        wetf_s = jnp.concatenate([jnp.zeros((1, nx), dtype), wetf[: ny - 1, :]], axis=0)
+
+        tv_e = jnp.minimum(p_e, pltpu.roll(p_w, nx - 1, 1)) * khde_ref[...] \
+            * inv_v * mask_e
+        tv_w = jnp.minimum(p_w, pltpu.roll(p_e, 1, 1)) * khdw_ref[...] \
+            * inv_v * (wetf * wetf_w)
+        a_nb_n = jnp.concatenate([p_s[1:, :], ahnseam_ref[0]], axis=0)
+        tv_n = jnp.minimum(p_n, a_nb_n) * khdn_ref[...] * inv_v * mask_n
+        a_nb_s = jnp.concatenate([p_n[:1, :], p_n[: ny - 1, :]], axis=0)
+        tv_s = jnp.minimum(p_s, a_nb_s) * khds_ref[...] * inv_v * (wetf * wetf_s)
+
+        # --- vertical diffusion (matrixbuilding.jl:438-479) --------------
+        r = kpack_ref[0]  # (8, nx): rows broadcast over j
+        zup_max, zdn_max = r[0:1, :], r[1:2, :]
+        au_deep, au_ml = r[2:3, :], r[3:4, :]
+        ad_deep, ad_ml = r[4:5, :], r[5:6, :]
+
+        ml = ml_ref[...]
+        om_up = jnp.where(zup_max < ml, one, zero)
+        om_dn = jnp.where(zdn_max < ml, one, zero)
+        a_over_v = areac_ref[...] * inv_v
+        prev_wet = prevwet_scr[...]
+        tot_up = a_over_v * (au_deep + au_ml * om_up) * (wetf * wetuf)
+        tot_dn = a_over_v * (ad_deep + ad_ml * om_dn) * (wetf * prev_wet)
+        prevwet_scr[...] = wetf
+
+        # --- total legs ---------------------------------------------------
+        diag_ref[0] = out_sum * inv_m + tv_e + tv_w + tv_n + tv_s + tot_up + tot_dn
+        e_ref[0] = -(in_e * inv_m) - tv_e
+        w_ref[0] = -(in_w * inv_m) - tv_w
+        n_ref[0] = -(in_n * inv_m) - tv_n
+        s_ref[0] = -(in_s * inv_m) - tv_s
+        t_ref[0] = -(in_t * inv_m) - tot_up
+        b_ref[0] = -(in_b * inv_m) - tot_dn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("topology", "rho", "kappa_h", "kappa_vml", "kappa_vdeep",
+                     "upwind", "interpret"),
+)
+def _assemble_pallas(
+    umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
+    topology: GridTopology,
+    rho: float, kappa_h: float, kappa_vml: float, kappa_vdeep: float,
+    upwind: bool, interpret: bool,
+):
+    nz, ny, nx = topology.shape3d
+    dtype = jnp.asarray(v3dw).dtype
+    f = lambda x: jnp.asarray(x, dtype)
+    umo, vmo, v3dw = f(umo), f(vmo), f(v3dw)
+    area2d, ml = f(area2d), f(mlotst)
+
+    wetf = jnp.where(v3dw == v3dw, dtype.type(1), dtype.type(0))
+
+    if upwind:
+        negf = lambda x: -jnp.minimum(x, 0.0)
+    else:
+        negf = lambda x: -x / 2
+
+    # North-outflux seam row (see coeffs._advection_north_outflux): the
+    # folded neighbor's own "From North" branch. Zero for bipolar (top-row
+    # phi_north is no-flux there).
+    if topology.is_tripolar:
+        wet_top = wetf[:, -1, :]
+        nb_top = wet_top[:, ::-1]
+        pn_top = jnp.where(
+            (wet_top > 0) & (nb_top > 0),
+            jnp.where(vmo[:, -1, :] == vmo[:, -1, :], vmo[:, -1, :], 0.0),
+            0.0,
+        )
+        adv_seam = negf(pn_top[:, ::-1])
+        wet_seam = nb_top
+        thk_top = v3dw[:, -1, :] / area2d[-1, :]
+        ahn_seam = jnp.nan_to_num(
+            (thk_top * edge_length["north"][-1, :])[:, ::-1]
+        )  # dry folded cells are masked by the wet pair; keep operands finite
+    else:
+        adv_seam = jnp.zeros((nz, nx), dtype)
+        wet_seam = jnp.zeros((nz, nx), dtype)
+        ahn_seam = jnp.zeros((nz, nx), dtype)
+    adv_seam = adv_seam.reshape(nz, 1, nx)
+    wet_seam = wet_seam.reshape(nz, 1, nx)
+    ahn_seam = ahn_seam.reshape(nz, 1, nx)
+
+    # Per-level packed scalars: max-z of the k/k-1 and k/k+1 pairs (for the
+    # mixed-layer mask: zt[k]<ml AND zt[k']<ml <=> max<ml) and kappa/dz
+    # rows, zeroed at the boundaries where no vertical neighbor exists.
+    zt = jnp.asarray(zt, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    z_up = jnp.concatenate([zt[:1], zt[:-1]])
+    z_dn = jnp.concatenate([zt[1:], zt[-1:]])
+    dz_up = jnp.abs(zt - z_up).at[0].set(jnp.inf)
+    dz_dn = jnp.abs(zt - z_dn).at[-1].set(jnp.inf)
+    zup_max = jnp.maximum(zt, z_up).at[0].set(inf)
+    zdn_max = jnp.maximum(zt, z_dn).at[-1].set(inf)
+    kpack = jnp.stack(
+        [
+            zup_max,
+            zdn_max,
+            kappa_vdeep / dz_up,
+            kappa_vml / dz_up,
+            kappa_vdeep / dz_dn,
+            kappa_vml / dz_dn,
+            jnp.zeros_like(zt),
+            jnp.zeros_like(zt),
+        ],
+        axis=1,
+    )  # (nz, 8)
+    kpack = jnp.broadcast_to(kpack[:, :, None], (nz, 8, nx)).astype(dtype)
+
+    k_of = lambda s: jnp.minimum(nz - s, nz - 1)
+    slab = lambda s: (k_of(s), 0, 0)
+    slab_up = lambda s: (jnp.clip(nz - s - 1, 0, nz - 1), 0, 0)
+    flat2d = lambda s: (0, 0)
+
+    def spec(index_map, block=(1, ny, nx)):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    spec2d = pl.BlockSpec((ny, nx), flat2d, memory_space=pltpu.VMEM)
+
+    # Resident 2D fields, all finite: kappa_h/dist (0 where no neighbor),
+    # cleaned area and 1/area (0 where NaN — all-land columns).
+    def khd(d):
+        dist = f(distance_to_neighbour[d])
+        return jnp.where(jnp.isfinite(dist), dtype.type(kappa_h) / dist, 0.0)
+
+    area_c = jnp.nan_to_num(area2d)
+    inv_area = jnp.where(jnp.isfinite(area2d), 1.0 / area2d, 0.0).astype(dtype)
+
+    kernel = functools.partial(
+        _assembly_kernel,
+        nz=nz, ny=ny, rho=float(rho), upwind=upwind,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz + 1,),
+        in_specs=[spec(slab)] * 3
+        + [spec(slab_up)]
+        + [spec(slab, (1, 1, nx))] * 3
+        + [spec(slab, (1, 8, nx))]
+        + [spec2d] * 11,
+        out_specs=[spec(slab)] * 7,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dtype)] * 7,
+        scratch_shapes=[
+            pltpu.VMEM((ny, nx), dtype),
+            pltpu.VMEM((ny, nx), dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * nz * ny * nx,
+            bytes_accessed=11 * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        umo, vmo, v3dw, v3dw,
+        adv_seam, wet_seam, ahn_seam, kpack,
+        f(edge_length["east"]), f(edge_length["west"]),
+        f(edge_length["north"]), f(edge_length["south"]),
+        khd("east"), khd("west"), khd("north"), khd("south"),
+        area_c, inv_area, ml,
+    )
+    return StencilCoeffs(*out)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def assemble_T_pallas(
+    umo,
+    vmo,
+    mlotst,
+    gridmetrics: GridMetrics,
+    wet3d=None,
+    rho=RHO_DEFAULT,
+    kappa_h=KAPPA_H_DEFAULT,
+    kappa_vml=KAPPA_VML_DEFAULT,
+    kappa_vdeep=KAPPA_VDEEP_DEFAULT,
+    upwind: bool = True,
+    interpret: bool | None = None,
+) -> StencilCoeffs:
+    """Total operator T as stencil coefficients, via the fused assembly
+    kernel. Physics-identical to `assemble_transport(...).T`
+    (models/transport.py) for scalar rho.
+
+    `wet3d=None` means "the NaN pattern of v3d" (the `makeindices`
+    convention); an explicit mask is folded into the volume field first.
+    Falls back to the XLA pass pipeline for 3D rho or when the full-slab
+    working set exceeds VMEM (0.25-degree scale).
+    """
+    topo = gridmetrics.topology
+    nz, ny, nx = topo.shape3d
+    itemsize = gridmetrics.v3d.dtype.itemsize
+    working_set = (4 + 7) * 2 * ny * nx * itemsize + 10 * ny * nx * itemsize
+
+    def _static_scalar(x):
+        """float(x) if x is a concrete scalar, else None (traced/3D)."""
+        if jnp.shape(x) != ():
+            return None
+        try:
+            return float(x)
+        except (jax.errors.ConcretizationTypeError, TypeError):
+            return None
+
+    scalars = [_static_scalar(v) for v in (rho, kappa_h, kappa_vml, kappa_vdeep)]
+
+    if any(v is None for v in scalars) or working_set > _VMEM_BUDGET \
+            or topo.kind == "unknown":
+        logger.debug("assemble_T_pallas: falling back to the XLA pipeline")
+        from ..models.transport import assemble_transport
+
+        wet = wet3d if wet3d is not None else (gridmetrics.v3d == gridmetrics.v3d)
+        return assemble_transport(
+            umo, vmo, mlotst, gridmetrics, wet,
+            rho=rho, kappa_h=kappa_h, kappa_vml=kappa_vml,
+            kappa_vdeep=kappa_vdeep, upwind=upwind,
+        ).T
+
+    v3dw = gridmetrics.v3d
+    if wet3d is not None:
+        v3dw = jnp.where(jnp.asarray(wet3d, bool), v3dw, jnp.nan)
+
+    if interpret is None:
+        interpret = _default_interpret()
+
+    return _assemble_pallas(
+        umo, vmo, mlotst, v3dw,
+        gridmetrics.area2d, gridmetrics.edge_length,
+        gridmetrics.distance_to_neighbour, gridmetrics.zt,
+        topo,
+        *scalars,
+        bool(upwind), bool(interpret),
+    )
