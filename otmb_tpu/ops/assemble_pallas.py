@@ -197,17 +197,13 @@ def _assembly_kernel(
         b_ref[0] = -(in_b * inv_m) - tot_dn
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("topology", "rho", "kappa_h", "kappa_vml", "kappa_vdeep",
-                     "upwind", "interpret"),
-)
-def _assemble_pallas(
+def _prep_streams(
     umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
     topology: GridTopology,
-    rho: float, kappa_h: float, kappa_vml: float, kappa_vdeep: float,
-    upwind: bool, interpret: bool,
+    kappa_h: float, kappa_vml: float, kappa_vdeep: float, upwind: bool,
 ):
+    """Side streams shared by the full-slab and j-blocked variants:
+    seam rows, per-level packed scalars, and finite resident 2D fields."""
     nz, ny, nx = topology.shape3d
     dtype = jnp.asarray(v3dw).dtype
     f = lambda x: jnp.asarray(x, dtype)
@@ -272,6 +268,44 @@ def _assemble_pallas(
     )  # (nz, 8)
     kpack = jnp.broadcast_to(kpack[:, :, None], (nz, 8, nx)).astype(dtype)
 
+    # Resident 2D fields, all finite: kappa_h/dist (0 where no neighbor),
+    # cleaned area and 1/area (0 where NaN — all-land columns).
+    def khd(d):
+        dist = f(distance_to_neighbour[d])
+        return jnp.where(jnp.isfinite(dist), dtype.type(kappa_h) / dist, 0.0)
+
+    residents = (
+        f(edge_length["east"]), f(edge_length["west"]),
+        f(edge_length["north"]), f(edge_length["south"]),
+        khd("east"), khd("west"), khd("north"), khd("south"),
+        jnp.nan_to_num(area2d),
+        jnp.where(jnp.isfinite(area2d), 1.0 / area2d, 0.0).astype(dtype),
+        ml,
+    )
+    return umo, vmo, v3dw, adv_seam, wet_seam, ahn_seam, kpack, residents
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("topology", "rho", "kappa_h", "kappa_vml", "kappa_vdeep",
+                     "upwind", "interpret"),
+)
+def _assemble_pallas(
+    umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
+    topology: GridTopology,
+    rho: float, kappa_h: float, kappa_vml: float, kappa_vdeep: float,
+    upwind: bool, interpret: bool,
+):
+    nz, ny, nx = topology.shape3d
+    dtype = jnp.asarray(v3dw).dtype
+
+    umo, vmo, v3dw, adv_seam, wet_seam, ahn_seam, kpack, residents = \
+        _prep_streams(
+            umo, vmo, mlotst, v3dw, area2d, edge_length,
+            distance_to_neighbour, zt, topology,
+            kappa_h, kappa_vml, kappa_vdeep, upwind,
+        )
+
     k_of = lambda s: jnp.minimum(nz - s, nz - 1)
     slab = lambda s: (k_of(s), 0, 0)
     slab_up = lambda s: (jnp.clip(nz - s - 1, 0, nz - 1), 0, 0)
@@ -281,15 +315,6 @@ def _assemble_pallas(
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
     spec2d = pl.BlockSpec((ny, nx), flat2d, memory_space=pltpu.VMEM)
-
-    # Resident 2D fields, all finite: kappa_h/dist (0 where no neighbor),
-    # cleaned area and 1/area (0 where NaN — all-land columns).
-    def khd(d):
-        dist = f(distance_to_neighbour[d])
-        return jnp.where(jnp.isfinite(dist), dtype.type(kappa_h) / dist, 0.0)
-
-    area_c = jnp.nan_to_num(area2d)
-    inv_area = jnp.where(jnp.isfinite(area2d), 1.0 / area2d, 0.0).astype(dtype)
 
     kernel = functools.partial(
         _assembly_kernel,
@@ -322,10 +347,270 @@ def _assemble_pallas(
     )(
         umo, vmo, v3dw, v3dw,
         adv_seam, wet_seam, ahn_seam, kpack,
-        f(edge_length["east"]), f(edge_length["west"]),
-        f(edge_length["north"]), f(edge_length["south"]),
-        khd("east"), khd("west"), khd("north"), khd("south"),
-        area_c, inv_area, ml,
+        *residents,
+    )
+    return StencilCoeffs(*out)
+
+
+def _assembly_kernel_blocked(
+    # streamed slabs (1, by, nx)
+    umo_ref, vmo_ref, v3d_ref, v3dup_ref,
+    # (1, 1, nx) rows
+    advseam_ref, wetn_ref, psn_ref, phis_ref, wets_ref, pns_ref,
+    # (1, 8, nx) per-k packed scalars
+    kpack_ref,
+    # resident 2D blocks (by, nx)
+    ele_ref, elw_ref, eln_ref, els_ref,
+    khde_ref, khdw_ref, khdn_ref, khds_ref,
+    areac_ref, inva_ref, ml_ref,
+    # outputs
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    # scratch
+    carry_scr, prevwet_scr,
+    *,
+    nz: int,
+    by: int,
+    nb: int,
+    rho: float,
+    upwind: bool,
+):
+    """j-blocked variant for grids whose full slab set exceeds VMEM
+    (0.25-degree scale). Grid is (nb, nz+1): per j-block the k levels
+    stream bottom-up with the suffix-sum carry; j-halo rows (masked
+    north flux, wet factor, directed face areas of the neighbor rows)
+    arrive as tiny side streams, with the tripolar seam rows baked into
+    the last block's entries. Same math as `_assembly_kernel`."""
+    jb = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        carry_scr[...] = jnp.zeros_like(carry_scr)
+        prevwet_scr[...] = jnp.zeros_like(prevwet_scr)
+
+    @pl.when(s > 0)
+    def _():
+        k = nz - s
+        v = v3d_ref[0]
+        dtype = v.dtype
+        nx = v.shape[1]
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+
+        wet = v == v
+        wetf = jnp.where(wet, one, zero)
+        vu = v3dup_ref[0]
+        wetuf = jnp.where(vu == vu, one, zero)
+        vclean = jnp.where(wet, v, one)
+        inv_v = wetf / vclean
+
+        if upwind:
+            pos = lambda x: jnp.maximum(x, zero)
+            neg = lambda x: -jnp.minimum(x, zero)
+        else:
+            pos = lambda x: x * 0.5
+            neg = lambda x: x * -0.5
+
+        sanitize = lambda x: jnp.where(x == x, x, zero)
+        wetf_e = pltpu.roll(wetf, nx - 1, 1)
+        wetf_n = jnp.concatenate([wetf[1:, :], wetn_ref[0]], axis=0)
+        mask_e = wetf * wetf_e
+        mask_n = wetf * wetf_n
+        phi_e = sanitize(umo_ref[0]) * mask_e
+        phi_n = sanitize(vmo_ref[0]) * mask_n
+
+        phi_w = pltpu.roll(phi_e, 1, 1)
+        phi_s = jnp.concatenate([phis_ref[0], phi_n[: by - 1, :]], axis=0)
+
+        phi_b = carry_scr[...]
+        phi_t = phi_b + (phi_w + phi_s - phi_e - phi_n)
+        carry_scr[...] = phi_t
+
+        not_surf = jnp.where(k > 0, one, zero)
+
+        inv_m = inv_v * dtype.type(1.0 / rho)
+
+        in_e, in_w = neg(phi_e), pos(phi_w)
+        in_n, in_s = neg(phi_n), pos(phi_s)
+        in_b = pos(phi_b)
+        in_t = not_surf * neg(phi_t)
+
+        on = pos(phi_n)
+        last_row = jnp.where(jb == nb - 1, advseam_ref[0], on[by - 1 :, :])
+        out_n = jnp.concatenate([on[: by - 1, :], last_row], axis=0)
+        out_sum = (
+            pos(phi_e) + neg(phi_w) + neg(phi_s) + out_n
+            + neg(phi_b) + not_surf * pos(phi_t)
+        )
+
+        thk = vclean * inva_ref[...]
+        p_e = thk * ele_ref[...]
+        p_w = thk * elw_ref[...]
+        p_n = thk * eln_ref[...]
+        p_s = thk * els_ref[...]
+
+        wetf_w = pltpu.roll(wetf, 1, 1)
+        wetf_s = jnp.concatenate([wets_ref[0], wetf[: by - 1, :]], axis=0)
+
+        tv_e = jnp.minimum(p_e, pltpu.roll(p_w, nx - 1, 1)) * khde_ref[...] \
+            * inv_v * mask_e
+        tv_w = jnp.minimum(p_w, pltpu.roll(p_e, 1, 1)) * khdw_ref[...] \
+            * inv_v * (wetf * wetf_w)
+        a_nb_n = jnp.concatenate([p_s[1:, :], psn_ref[0]], axis=0)
+        tv_n = jnp.minimum(p_n, a_nb_n) * khdn_ref[...] * inv_v * mask_n
+        a_nb_s = jnp.concatenate([pns_ref[0], p_n[: by - 1, :]], axis=0)
+        tv_s = jnp.minimum(p_s, a_nb_s) * khds_ref[...] * inv_v * (wetf * wetf_s)
+
+        r = kpack_ref[0]
+        zup_max, zdn_max = r[0:1, :], r[1:2, :]
+        au_deep, au_ml = r[2:3, :], r[3:4, :]
+        ad_deep, ad_ml = r[4:5, :], r[5:6, :]
+
+        ml = ml_ref[...]
+        om_up = jnp.where(zup_max < ml, one, zero)
+        om_dn = jnp.where(zdn_max < ml, one, zero)
+        a_over_v = areac_ref[...] * inv_v
+        prev_wet = prevwet_scr[...]
+        tot_up = a_over_v * (au_deep + au_ml * om_up) * (wetf * wetuf)
+        tot_dn = a_over_v * (ad_deep + ad_ml * om_dn) * (wetf * prev_wet)
+        prevwet_scr[...] = wetf
+
+        diag_ref[0] = out_sum * inv_m + tv_e + tv_w + tv_n + tv_s + tot_up + tot_dn
+        e_ref[0] = -(in_e * inv_m) - tv_e
+        w_ref[0] = -(in_w * inv_m) - tv_w
+        n_ref[0] = -(in_n * inv_m) - tv_n
+        s_ref[0] = -(in_s * inv_m) - tv_s
+        t_ref[0] = -(in_t * inv_m) - tot_up
+        b_ref[0] = -(in_b * inv_m) - tot_dn
+
+
+def _pick_j_block(ny: int, nx: int, itemsize: int, budget_bytes: int) -> int:
+    """Largest divisor of ny fitting the VMEM budget. Mosaic
+    double-buffers every changing block — including the per-jb resident
+    2D fields — so the working set is ~(4 in + 7 out + 11 resident) x 2
+    + 2 scratch = 46 slabs; 60 adds headroom for pipeline overhead
+    (by=360 at 0.25-degree scale measured 124 MB on chip)."""
+    for by in sorted((d for d in range(1, ny + 1) if ny % d == 0), reverse=True):
+        if 60 * by * nx * itemsize <= budget_bytes:
+            return by
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("topology", "rho", "kappa_h", "kappa_vml", "kappa_vdeep",
+                     "upwind", "interpret", "by_static"),
+)
+def _assemble_pallas_blocked(
+    umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
+    topology: GridTopology,
+    rho: float, kappa_h: float, kappa_vml: float, kappa_vdeep: float,
+    upwind: bool, interpret: bool, by_static=None,
+):
+    nz, ny, nx = topology.shape3d
+    dtype = jnp.asarray(v3dw).dtype
+
+    by = by_static if by_static else _pick_j_block(
+        ny, nx, dtype.itemsize, budget_bytes=80 * 1024 * 1024
+    )
+    if ny % by:
+        raise ValueError(f"j-block size {by} does not divide ny={ny}")
+    nb = ny // by
+
+    umo, vmo, v3dw, adv_seam, wet_seam, ahn_seam, kpack, residents = \
+        _prep_streams(
+            umo, vmo, mlotst, v3dw, area2d, edge_length,
+            distance_to_neighbour, zt, topology,
+            kappa_h, kappa_vml, kappa_vdeep, upwind,
+        )
+    (ele, elw, eln, els, khde, khdw, khdn, khds, area_c, inv_area, ml) = residents
+
+    # Halo rows per (k, jb), laid out (nz*nb, 1, nx) for row_nb indexing.
+    import numpy as np
+
+    idx_n = np.minimum((np.arange(nb) + 1) * by, ny - 1)
+    idx_s = np.maximum(np.arange(nb) * by - 1, 0)
+
+    def rows_at(x2d, idx):
+        return x2d[idx, :]  # (nb, nx)
+
+    def wet_rows(idx):
+        vr = v3dw[:, idx, :]
+        return jnp.where(vr == vr, dtype.type(1), dtype.type(0))
+
+    def thk_rows(idx):
+        vr = v3dw[:, idx, :]
+        vc = jnp.where(vr == vr, vr, dtype.type(1))
+        return vc * rows_at(inv_area, idx)[None]
+
+    # North halos: wet factor and the neighbor row's south-face area; the
+    # last block's entries are the tripolar seam rows (zeros for bipolar).
+    wetn_rows = wet_rows(idx_n).at[:, nb - 1, :].set(wet_seam[:, 0, :])
+    psn_rows = (thk_rows(idx_n) * rows_at(els, idx_n)[None]).at[
+        :, nb - 1, :
+    ].set(ahn_seam[:, 0, :])
+
+    # South halos: masked north flux, wet factor, and the neighbor row's
+    # north-face area; block 0 rows are the southern boundary (zeros).
+    wets = wet_rows(idx_s)
+    wets_above = wet_rows(np.minimum(idx_s + 1, ny - 1))
+    vmo_s = vmo[:, idx_s, :]
+    phis_rows = (
+        jnp.where(vmo_s == vmo_s, vmo_s, 0.0) * wets * wets_above
+    ).at[:, 0, :].set(0.0)
+    wets_rows = wets.at[:, 0, :].set(0.0)
+    pns_rows = (thk_rows(idx_s) * rows_at(eln, idx_s)[None]).at[:, 0, :].set(0.0)
+
+    as_rows = lambda x: x.reshape(nz * nb, 1, nx)
+
+    k_of = lambda jb, s: jnp.minimum(nz - s, nz - 1)
+    blk = lambda jb, s: (k_of(jb, s), jb, 0)
+    blk_up = lambda jb, s: (jnp.clip(nz - s - 1, 0, nz - 1), jb, 0)
+    row_k = lambda jb, s: (k_of(jb, s), 0, 0)
+    row_nb = lambda jb, s: (k_of(jb, s) * nb + jb, 0, 0)
+    flat2d = lambda jb, s: (jb, 0)
+
+    def spec(index_map, block=(1, by, nx)):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    spec2d = pl.BlockSpec((by, nx), flat2d, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _assembly_kernel_blocked,
+        nz=nz, by=by, nb=nb, rho=float(rho), upwind=upwind,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nz + 1),
+        in_specs=[spec(blk)] * 3
+        + [spec(blk_up)]
+        + [spec(row_k, (1, 1, nx))]
+        + [spec(row_nb, (1, 1, nx))] * 5
+        + [spec(row_k, (1, 8, nx))]
+        + [spec2d] * 11,
+        out_specs=[spec(blk)] * 7,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dtype)] * 7,
+        scratch_shapes=[
+            pltpu.VMEM((by, nx), dtype),
+            pltpu.VMEM((by, nx), dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * nz * ny * nx,
+            bytes_accessed=11 * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        umo, vmo, v3dw, v3dw,
+        adv_seam,
+        as_rows(wetn_rows), as_rows(psn_rows),
+        as_rows(phis_rows), as_rows(wets_rows), as_rows(pns_rows),
+        kpack,
+        *residents,
     )
     return StencilCoeffs(*out)
 
@@ -346,6 +631,7 @@ def assemble_T_pallas(
     kappa_vdeep=KAPPA_VDEEP_DEFAULT,
     upwind: bool = True,
     interpret: bool | None = None,
+    by_static: int | None = None,
 ) -> StencilCoeffs:
     """Total operator T as stencil coefficients, via the fused assembly
     kernel. Physics-identical to `assemble_transport(...).T`
@@ -353,8 +639,10 @@ def assemble_T_pallas(
 
     `wet3d=None` means "the NaN pattern of v3d" (the `makeindices`
     convention); an explicit mask is folded into the volume field first.
-    Falls back to the XLA pass pipeline for 3D rho or when the full-slab
-    working set exceeds VMEM (0.25-degree scale).
+    Dispatches to the full-slab kernel when a (ny, nx) slab set fits
+    VMEM, to the j-blocked kernel otherwise (0.25-degree scale), and
+    falls back to the XLA pass pipeline for 3D/traced physics scalars or
+    unknown topology. `by_static` forces a j-block size (testing).
     """
     topo = gridmetrics.topology
     nz, ny, nx = topo.shape3d
@@ -372,8 +660,7 @@ def assemble_T_pallas(
 
     scalars = [_static_scalar(v) for v in (rho, kappa_h, kappa_vml, kappa_vdeep)]
 
-    if any(v is None for v in scalars) or working_set > _VMEM_BUDGET \
-            or topo.kind == "unknown":
+    if any(v is None for v in scalars) or topo.kind == "unknown":
         logger.debug("assemble_T_pallas: falling back to the XLA pipeline")
         from ..models.transport import assemble_transport
 
@@ -391,7 +678,7 @@ def assemble_T_pallas(
     if interpret is None:
         interpret = _default_interpret()
 
-    return _assemble_pallas(
+    common = (
         umo, vmo, mlotst, v3dw,
         gridmetrics.area2d, gridmetrics.edge_length,
         gridmetrics.distance_to_neighbour, gridmetrics.zt,
@@ -399,3 +686,6 @@ def assemble_T_pallas(
         *scalars,
         bool(upwind), bool(interpret),
     )
+    if by_static is not None or working_set > _VMEM_BUDGET:
+        return _assemble_pallas_blocked(*common, by_static)
+    return _assemble_pallas(*common)

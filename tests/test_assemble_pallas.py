@@ -76,6 +76,30 @@ def test_fused_assembly_default_wet_mask(dataset, gridmetrics, indices):
         np.testing.assert_allclose(np.asarray(a[leg]), np.asarray(b[leg]), err_msg=leg)
 
 
+@pytest.mark.parametrize("upwind", [True, False], ids=["upwind", "centered"])
+@pytest.mark.parametrize("by", [2, 7])
+def test_fused_assembly_blocked(dataset, gridmetrics, indices, upwind, by):
+    """The j-blocked kernel (0.25-degree VMEM regime) matches the pipeline
+    for block sizes that exercise interior and boundary halo rows
+    (the fixture grid has ny=14; blocks must tile ny)."""
+    ref = _reference_T(dataset, gridmetrics, indices, upwind)
+    out = assemble_T_pallas(
+        jnp.nan_to_num(jnp.asarray(dataset.umo)),
+        jnp.nan_to_num(jnp.asarray(dataset.vmo)),
+        dataset.mlotst,
+        gridmetrics,
+        wet3d=indices.wet3d,
+        upwind=upwind,
+        interpret=True,
+        by_static=by,
+    )
+    for leg in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(out[leg]), np.asarray(ref[leg]),
+            rtol=1e-12, atol=1e-18, err_msg=leg,
+        )
+
+
 def test_fused_assembly_3d_rho_falls_back(dataset, gridmetrics, indices):
     """3D density routes through the XLA pipeline and still agrees with it."""
     rho3d = jnp.where(indices.wet3d, 1030.0 + 0.01 * gridmetrics.z3d, jnp.nan)
