@@ -96,8 +96,52 @@ def _tridiag_preconditioner(coeffs: StencilCoeffs, shifted_diag):
     return solve
 
 
+def _bicgstab_matrix_free(a_op, b, M, tol, maxiter):
+    """Right-preconditioned BiCGStab as a plain lax.while_loop.
+
+    Same algorithm (and M semantics) as jax.scipy.sparse.linalg.bicgstab,
+    but WITHOUT the custom_linear_solve wrapper — that wrapper transposes
+    the matvec symbolically, which is impossible for an opaque Pallas
+    custom call. Used for the apply_impl='pallas' fast path.
+    """
+    bnorm = jnp.linalg.norm(b)
+    atol2 = (tol * bnorm) ** 2
+
+    x0 = jnp.zeros_like(b)
+    r0 = b  # x0 == 0
+    state0 = (x0, r0, r0, r0, jnp.vdot(r0, r0), jnp.asarray(0))
+    # state: (x, r, p, rhat0, rho, iters)
+
+    def cond(state):
+        _, r, *_, iters = state
+        return (jnp.vdot(r, r).real > atol2) & (iters < maxiter)
+
+    def body(state):
+        x, r, p, rhat0, rho, iters = state
+        phat = M(p)
+        v = a_op(phat)
+        denom = jnp.vdot(rhat0, v)
+        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        s = r - alpha * v
+        shat = M(s)
+        t = a_op(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_new = jnp.vdot(rhat0, r)
+        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
+            alpha / jnp.where(omega == 0, 1.0, omega)
+        )
+        p = r + beta * (p - omega * v)
+        return (x, r, p, rhat0, rho_new, iters + 1)
+
+    x, *_ = jax.lax.while_loop(cond, body, state0)
+    return x
+
+
 @partial(jax.jit, static_argnames=("topology", "method", "maxiter", "transpose",
-                                   "preconditioner"))
+                                   "preconditioner", "apply_impl"))
 def solve_shifted(
     coeffs: StencilCoeffs,
     b,
@@ -109,6 +153,7 @@ def solve_shifted(
     maxiter: int = 2000,
     transpose: bool = False,
     preconditioner: str = "tridiag",
+    apply_impl: str = "jnp",
 ):
     """Solve (shift * I + D_extra + T) x = b matrix-free (T' instead of T
     when `transpose`, for adjoint problems like sequestration time).
@@ -116,12 +161,31 @@ def solve_shifted(
     `shift` is a scalar (e.g. 1/dt for implicit Euler); `extra_diag` an
     optional per-cell diagonal field (e.g. the surface restoring mask of
     the ideal-age problem). Returns (x, residual_norm).
+
+    `apply_impl="pallas"` routes the inner operator application through
+    the fused Pallas stencil kernel — ~2x faster per Krylov iteration on
+    a single chip, but not partitionable by GSPMD: keep the default
+    "jnp" when the solve runs sharded under a device mesh (use
+    parallel/halo_pallas for the sharded hot path instead). Ignored for
+    transpose solves (no transpose kernel).
     """
     from ..ops.apply import apply_stencil_transpose
 
     b = jnp.asarray(b)
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
-    apply = apply_stencil_transpose if transpose else apply_stencil
+    if transpose:
+        apply = apply_stencil_transpose
+    elif apply_impl == "pallas":
+        if method != "bicgstab":
+            raise ValueError(
+                "apply_impl='pallas' requires method='bicgstab' (jax.scipy "
+                "gmres transposes the matvec, impossible for a Pallas call)"
+            )
+        from ..ops.stencil_pallas import apply_stencil_pallas
+
+        apply = apply_stencil_pallas
+    else:
+        apply = apply_stencil
 
     def a_op(x):
         return shift * x + extra * x + apply(coeffs, x, topology)
@@ -146,7 +210,14 @@ def solve_shifted(
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
     if method == "bicgstab":
-        x, _ = bicgstab(a_op, b, tol=tol, atol=0.0, M=precond, maxiter=maxiter)
+        if apply_impl == "pallas" and not transpose:
+            # jax.scipy's bicgstab wraps the matvec in custom_linear_solve,
+            # which transposes it symbolically — impossible for the opaque
+            # Pallas call. Same algorithm, plain while_loop.
+            x = _bicgstab_matrix_free(a_op, b, precond, tol, maxiter)
+        else:
+            x, _ = bicgstab(a_op, b, tol=tol, atol=0.0, M=precond,
+                            maxiter=maxiter)
     elif method == "gmres":
         x, _ = gmres(
             a_op, b, tol=tol, atol=0.0, M=precond, maxiter=maxiter,
@@ -166,6 +237,7 @@ def implicit_euler_step(
     topology: GridTopology,
     tol: float = 1e-10,
     method: str = "bicgstab",
+    apply_impl: str = "jnp",
 ):
     """One implicit Euler step: solve (I + dt T) chi_next = chi.
 
@@ -174,7 +246,8 @@ def implicit_euler_step(
     """
     chi = jnp.asarray(chi)
     x, res = solve_shifted(
-        coeffs, chi / dt, topology, shift=1.0 / dt, tol=tol, method=method
+        coeffs, chi / dt, topology, shift=1.0 / dt, tol=tol, method=method,
+        apply_impl=apply_impl,
     )
     return x, res
 
@@ -186,6 +259,7 @@ def ideal_age(
     surface_rate: float = 1.0,
     tol: float = 1e-8,
     method: str = "bicgstab",
+    apply_impl: str = "jnp",
 ):
     """Steady-state ideal mean age Gamma (seconds), governed by
     T Gamma = 1 - M Gamma with M a fast surface restoring mask
@@ -202,7 +276,8 @@ def ideal_age(
     surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
     surf = jnp.where(wet, surf, 0.0)
     gamma, res = solve_shifted(
-        coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol, method=method
+        coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+        method=method, apply_impl=apply_impl,
     )
     return jnp.where(wet, gamma, jnp.nan), res
 

@@ -87,6 +87,21 @@ def test_ideal_age(ops, gridmetrics, indices):
     np.testing.assert_allclose(gamma[wet], direct, rtol=1e-5, atol=1e-3)
 
 
+def test_ideal_age_pallas_apply(ops, gridmetrics, indices):
+    """The single-chip fast path (apply_impl='pallas', interpret mode on
+    CPU) reproduces the jnp-apply solve."""
+    ref, _ = ideal_age(ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10)
+    out, res = ideal_age(
+        ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10,
+        apply_impl="pallas",
+    )
+    assert float(res) < 1e-6
+    wet = np.asarray(indices.wet3d)
+    np.testing.assert_allclose(
+        np.asarray(out)[wet], np.asarray(ref)[wet], rtol=1e-6, atol=1e-4
+    )
+
+
 def test_tridiag_preconditioner_exact_on_vertical_operator(
     dataset, gridmetrics, indices
 ):
