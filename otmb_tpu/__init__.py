@@ -23,7 +23,12 @@ from .models.transport import (
     buildTkVML,
     transportmatrix,
 )
-from .models.redigm import add_bolus_transports, bolus_gm_velocity
+from .models.redigm import (
+    add_bolus_transports,
+    bolus_gm_velocity,
+    density_slopes,
+    potential_density_slopes,
+)
 from .models.solvers import (
     explicit_euler_propagate,
     ideal_age,
@@ -93,6 +98,8 @@ __all__ = [
     "sequestration_time",
     "bolus_gm_velocity",
     "add_bolus_transports",
+    "density_slopes",
+    "potential_density_slopes",
     "lump_and_spray",
     "coeffs_to_scipy",
     "synthetic_dataset",

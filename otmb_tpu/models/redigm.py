@@ -32,6 +32,41 @@ def density_slopes(rho, gridmetrics: GridMetrics, wet3d=None):
     return s_i, s_j
 
 
+def potential_density_slope(eos, so, ct, gridmetrics: GridMetrics,
+                            direction: str, wet3d=None):
+    """Isoneutral slope of the *locally referenced* potential density.
+
+    Mirrors `localpotentialdensityslope` / `globalpotentialdensityslope`
+    (reference RediGM.jl:17-35): for every center cell, the equation of
+    state `eos(so, ct, zref)` is evaluated at all 6 triad-group members
+    using the CENTER cell's depth as the common reference `zref` — so
+    each center sees a different density at the same neighbor, removing
+    the compressibility contribution from the slope. `eos` is any
+    elementwise callable (the reference uses GibbsSeaWater's gsw_rho;
+    pass e.g. a TEOS-10 polynomial or a linear EOS).
+    """
+    from ..ops.derivatives import (
+        vertical_face_triad_derivative_group,
+        vertical_face_triad_group_values,
+    )
+
+    so_g = vertical_face_triad_group_values(so, gridmetrics, direction)
+    ct_g = vertical_face_triad_group_values(ct, gridmetrics, direction)
+    zref = gridmetrics.z3d  # center depth, common to the whole group
+    vals = {tag: eos(so_g[tag], ct_g[tag], zref) for tag in so_g}
+    return vertical_face_triad_derivative_group(
+        vals, gridmetrics, direction, wet3d
+    )
+
+
+def potential_density_slopes(eos, so, ct, gridmetrics: GridMetrics, wet3d=None):
+    """(S_i, S_j) from the locally referenced potential density — the
+    potential-density analogue of `density_slopes` (RediGM.jl:25-35)."""
+    s_i = potential_density_slope(eos, so, ct, gridmetrics, "i", wet3d)
+    s_j = potential_density_slope(eos, so, ct, gridmetrics, "j", wet3d)
+    return s_i, s_j
+
+
 def slope_taper(s_i, s_j, sc: float = SLOPE_TAPER_SC, sd: float = SLOPE_TAPER_SD):
     """Danabasoglu-McWilliams-style tanh taper
     0.5 * (1 + tanh((Sc - |S|) / Sd)) (reference RediGM.jl:59-62)."""

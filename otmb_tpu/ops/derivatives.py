@@ -136,6 +136,81 @@ def centered_triad_derivative(chi, gridmetrics: GridMetrics, direction: str,
     return out
 
 
+def vertical_face_triad_group_distances(gridmetrics: GridMetrics,
+                                        direction: str):
+    """Geometric distances of the POP-style 6-point vertical-face triad
+    group, one (nx, ny, nz) array per leg, as seen from every center cell
+    (reference `verticalfacetriadgroupdistances`, triads.jl:103-112):
+
+        CN  = |Z[N]  - Z[C]|    (N is k-1, above)
+        CS  = |Z[C]  - Z[S]|    (S is k+1, below)
+        CE  = haversine center-to-neighbor distance in `direction`
+        ENE = |Z[NE] - Z[E]|    (the E column's upward leg)
+        ESE = |Z[E]  - Z[SE]|
+    """
+    topo = gridmetrics.topology
+    z = gridmetrics.z3d
+    fwd = _FORWARD_DIR[direction]
+    dz_up = jnp.abs(neighbor_values(z, "top", topo, fill=jnp.nan) - z)
+    dz_dn = jnp.abs(neighbor_values(z, "bottom", topo, fill=jnp.nan) - z)
+    return {
+        "CN": dz_up,
+        "CS": dz_dn,
+        "CE": gridmetrics.distance_to_neighbour[fwd],
+        "ENE": neighbor_values(dz_up, fwd, topo, fill=jnp.nan),
+        "ESE": neighbor_values(dz_dn, fwd, topo, fill=jnp.nan),
+    }
+
+
+def vertical_face_triad_derivative_group(vals, gridmetrics: GridMetrics,
+                                         direction: str, wet3d=None):
+    """Triad slope from explicit per-center group values.
+
+    `vals` maps the 6 group tags {"C","N","S","E","NE","SE"} to
+    (nx, ny, nz) arrays giving that member's value as seen FROM each
+    center cell. This is the array-level form of the reference's
+    `localtriadderivative(::VerticalFaceTriadGroupValues)`
+    (triads.jl:114-133) for fields that are not a single global array —
+    e.g. potential density referenced to the center cell's depth, where
+    every center sees a different density at the same neighbor.
+    """
+    d = vertical_face_triad_group_distances(gridmetrics, direction)
+    d_cn = (vals["N"] - vals["C"]) / d["CN"]
+    d_cs = (vals["C"] - vals["S"]) / d["CS"]
+    d_ce = (vals["E"] - vals["C"]) / d["CE"]
+    d_ene = (vals["NE"] - vals["E"]) / d["ENE"]
+    d_ese = (vals["E"] - vals["SE"]) / d["ESE"]
+
+    out = _nanaware_mean([d_ce / d_cn, d_ce / d_cs, d_ce / d_ene, d_ce / d_ese])
+    if wet3d is not None:
+        out = jnp.where(jnp.asarray(wet3d, bool), out, jnp.nan)
+    return out
+
+
+def vertical_face_triad_group_values(chi, gridmetrics: GridMetrics,
+                                     direction: str):
+    """The 6 group-member fields of a single global array `chi` (reference
+    `verticalfacetriadgroupvalues`, triads.jl:90-102): per center cell,
+    the values at C, N(k-1), S(k+1), E(`direction` neighbor), NE, SE."""
+    chi = jnp.asarray(chi)
+    topo = gridmetrics.topology
+    fwd = _FORWARD_DIR[direction]
+
+    def at(arr, *dirs):
+        for dd in dirs:
+            arr = neighbor_values(arr, dd, topo, fill=jnp.nan)
+        return arr
+
+    return {
+        "C": chi,
+        "N": at(chi, "top"),
+        "S": at(chi, "bottom"),
+        "E": at(chi, fwd),
+        "NE": at(chi, fwd, "top"),
+        "SE": at(chi, fwd, "bottom"),
+    }
+
+
 def vertical_face_triad_derivative(chi, gridmetrics: GridMetrics, direction: str,
                                    wet3d=None):
     """Isoneutral slope estimate on the vertical face in `direction`.

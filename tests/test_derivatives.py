@@ -135,3 +135,115 @@ def test_redigm_bolus(gridmetrics, indices):
     # kappa_GM * maxslope / min dz bounds the magnitude
     dz_min = float(np.nanmin(np.asarray(gridmetrics.thkcello)))
     assert np.abs(finite_u).max() < 600.0 * 0.01 * 2 / dz_min
+
+
+# --- potential-density slopes (reference RediGM.jl:17-35) ------------------
+
+
+def _pdens_oracle(eos, so, ct, z3d, d2n, topo, wet3d, direction):
+    """Per-cell loop mirroring localpotentialdensityslope /
+    globalpotentialdensityslope (RediGM.jl:17-35): eos evaluated at all 6
+    triad-group members with the CENTER cell's depth as zref."""
+    from tests.reference_oracle import i_p1, j_p1, k_m1, k_p1
+
+    fwd_fn = i_p1 if direction == "i" else j_p1
+    fwd_name = "east" if direction == "i" else "north"
+    out = np.full(so.shape, np.nan)
+    nz, ny, nx = so.shape
+
+    def vdist(a, b):
+        if a is None or b is None:
+            return np.nan
+        return abs(z3d[b] - z3d[a])
+
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                c = (k, j, i)
+                if not wet3d[c]:
+                    continue
+                n = k_m1(c, topo)
+                s = k_p1(c, topo)
+                e = fwd_fn(c, topo)
+                ne = k_m1(e, topo) if e is not None else None
+                se = k_p1(e, topo) if e is not None else None
+                zref = z3d[c]
+
+                def val(cell):
+                    if cell is None:
+                        return np.nan
+                    return eos(so[cell], ct[cell], zref)
+
+                dists = dict(
+                    CN=vdist(c, n), CS=vdist(c, s),
+                    CE=d2n[fwd_name][j, i],
+                    ENE=vdist(e, ne), ESE=vdist(e, se),
+                )
+                d_cn = (val(n) - val(c)) / dists["CN"]
+                d_cs = (val(c) - val(s)) / dists["CS"]
+                d_ce = (val(e) - val(c)) / dists["CE"]
+                d_ene = (val(ne) - val(e)) / dists["ENE"]
+                d_ese = (val(e) - val(se)) / dists["ESE"]
+                ratios = [d_ce / d_cn, d_ce / d_cs, d_ce / d_ene, d_ce / d_ese]
+                finite = [r for r in ratios if np.isfinite(r)]
+                if finite:
+                    out[c] = np.mean(finite)
+    return out
+
+
+def _synthetic_so_ct(gridmetrics, wet):
+    z = np.asarray(gridmetrics.z3d)
+    lat = np.asarray(gridmetrics.lat)
+    lon = np.asarray(gridmetrics.lon)
+    so = np.where(wet, 35.0 + 0.002 * z + 0.3 * np.sin(np.deg2rad(lat)), np.nan)
+    ct = np.where(
+        wet, 20.0 - 0.004 * z + 0.5 * np.cos(np.deg2rad(lon)) , np.nan
+    )
+    return so, ct
+
+
+def test_potential_density_slope_zref_independent_eos(gridmetrics, indices):
+    """With an eos that ignores zref, the potential-density slope must equal
+    the plain triad slope of the density field."""
+    from otmb_tpu.models.redigm import potential_density_slopes
+
+    wet = np.asarray(indices.wet3d)
+    so, ct = _synthetic_so_ct(gridmetrics, wet)
+
+    def eos(s, c, zref):
+        return 1000.0 + 0.8 * s - 0.2 * c
+
+    s_i, s_j = potential_density_slopes(eos, so, ct, gridmetrics, wet)
+    ref_i, ref_j = density_slopes(eos(so, ct, None), gridmetrics, wet)
+    for got, ref in ((s_i, ref_i), (s_j, ref_j)):
+        got, ref = np.asarray(got), np.asarray(ref)
+        ok = np.isfinite(ref)
+        assert (np.isfinite(got) == ok).all()
+        np.testing.assert_allclose(got[ok], ref[ok], rtol=1e-10)
+
+
+def test_potential_density_slope_matches_oracle(gridmetrics, indices):
+    """zref-dependent eos: the vectorized slope matches a literal per-cell
+    re-implementation of the reference loop (both directions)."""
+    from tests.reference_oracle import gm_to_numpy
+
+    from otmb_tpu.models.redigm import potential_density_slopes
+
+    wet = np.asarray(indices.wet3d)
+    so, ct = _synthetic_so_ct(gridmetrics, wet)
+    z3d = np.asarray(gridmetrics.z3d)
+    d2n = gm_to_numpy(gridmetrics)["distance_to_neighbour"]
+
+    def eos(s, c, zref):
+        # nonlinear in all three args so zref semantics actually matter
+        return 1000.0 + 0.8 * s - 0.2 * c + 4.5e-3 * zref * (1.0 + 0.02 * (s - 35.0))
+
+    s_i, s_j = potential_density_slopes(eos, so, ct, gridmetrics, wet)
+    topo = gridmetrics.topology
+    for got, direction in ((s_i, "i"), (s_j, "j")):
+        ref = _pdens_oracle(eos, so, ct, z3d, d2n, topo, wet, direction)
+        got = np.asarray(got)
+        ok = np.isfinite(ref) & wet
+        assert ok.sum() > 0
+        assert (np.isfinite(got)[wet] == np.isfinite(ref)[wet]).all()
+        np.testing.assert_allclose(got[ok], ref[ok], rtol=1e-6, atol=1e-12)
