@@ -252,6 +252,110 @@ def implicit_euler_step(
     return x, res
 
 
+@partial(jax.jit, static_argnames=("topology", "transpose"))
+def _ir_defect(c_wide, x, b_wide, extra_wide, shift, bnorm_safe,
+               topology: GridTopology, transpose: bool):
+    """One wide-precision defect evaluation: r = b - A x, its norm s,
+    the normalized narrow-precision defect, and the relative residual."""
+    from ..ops.apply import apply_stencil_transpose
+
+    apply_wide = apply_stencil_transpose if transpose else apply_stencil
+    r = b_wide - (shift * x + extra_wide * x
+                  + apply_wide(c_wide, x, topology))
+    s = jnp.linalg.norm(r)
+    s_safe = jnp.where(s == 0, 1.0, s)
+    return r / s_safe, s_safe, s / bnorm_safe
+
+
+@jax.jit
+def _ir_update(x, s_safe, d):
+    return x + s_safe * d.astype(x.dtype)
+
+
+def solve_shifted_ir(
+    coeffs: StencilCoeffs,
+    b,
+    topology: GridTopology,
+    shift=0.0,
+    extra_diag=None,
+    tol: float = 1e-9,
+    inner_tol: float = 1e-4,
+    max_refinements: int = 10,
+    method: str = "bicgstab",
+    maxiter: int = 2000,
+    transpose: bool = False,
+    preconditioner: str = "tridiag",
+    apply_impl: str = "jnp",
+):
+    """`solve_shifted` with mixed-precision iterative refinement.
+
+    Single-precision Krylov on this operator stagnates at relative
+    residuals around 1e-3..1e-4 (age fields reach ~1e9 s while |T| rows
+    are ~1e-3 1/s, so f32 matvec roundoff floors the recurrence). The
+    classic fix, natural on TPU: keep the Krylov inner solve in fast f32
+    (optionally through the Pallas kernel), and wrap it in a defect-
+    correction loop whose residual r = b - A x is evaluated in f64 —
+    XLA emulates f64 on TPU at only ~6x the f32 matvec cost, and only
+    two f64 matvecs per refinement are needed. Each refinement contracts
+    the error by roughly the inner solve's relative accuracy, so a
+    handful of refinements reach f64-level residuals at f32 speed.
+
+    Requires `jax.config jax_enable_x64` for true f64 residuals; without
+    it the loop degrades to restarted f32 refinement (still tighter than
+    a single solve) and a warning is issued. Returns (x_wide, rel_residual).
+
+    The refinement loop runs on the host (one compiled defect step + one
+    compiled inner solve per refinement, a scalar fetch in between): a
+    fully fused nested-while formulation overflows CPython's C-stack
+    guard when tracing the Pallas kernel inside two while_loop levels,
+    and a handful of extra dispatches is negligible against solve time.
+    """
+    if not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            "solve_shifted_ir without jax_enable_x64: residuals are "
+            "evaluated in f32, refinement cannot beat the f32 floor",
+            stacklevel=2,
+        )
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    narrow = coeffs.diag.dtype
+
+    c_wide = jax.tree_util.tree_map(lambda a: a.astype(wide), coeffs)
+    b_wide = jnp.asarray(b).astype(wide)
+    extra_wide = (
+        jnp.zeros((), wide) if extra_diag is None
+        else jnp.asarray(extra_diag).astype(wide)
+    )
+    shift_wide = jnp.asarray(shift, wide)
+
+    bnorm = jnp.linalg.norm(b_wide)
+    bnorm_safe = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    x = jnp.zeros_like(b_wide)
+    rel = jnp.asarray(jnp.inf, wide)
+    for _ in range(max_refinements):
+        r_hat, s_safe, rel = _ir_defect(
+            c_wide, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+            topology, transpose,
+        )
+        if float(rel) <= tol:
+            break
+        d, _ = solve_shifted(
+            coeffs, r_hat.astype(narrow), topology, shift=shift,
+            extra_diag=extra_diag, tol=inner_tol, method=method,
+            maxiter=maxiter, transpose=transpose,
+            preconditioner=preconditioner, apply_impl=apply_impl,
+        )
+        x = _ir_update(x, s_safe, d)
+    else:
+        _, _, rel = _ir_defect(
+            c_wide, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+            topology, transpose,
+        )
+    return x, rel
+
+
 def ideal_age(
     coeffs: StencilCoeffs,
     wet3d,
@@ -260,6 +364,7 @@ def ideal_age(
     tol: float = 1e-8,
     method: str = "bicgstab",
     apply_impl: str = "jnp",
+    refine: bool = False,
 ):
     """Steady-state ideal mean age Gamma (seconds), governed by
     T Gamma = 1 - M Gamma with M a fast surface restoring mask
@@ -268,14 +373,17 @@ def ideal_age(
         (T + M) Gamma = 1  on wet cells,  M = surface_rate * 1_surface.
 
     Returns (gamma3d_seconds, residual_norm). Divide by 365.25*24*3600
-    for years.
+    for years. `refine=True` wraps the solve in mixed-precision
+    iterative refinement (see `solve_shifted_ir`) — use it on TPU, where
+    f32 Krylov alone floors around 1e-4 relative residual.
     """
     wet = jnp.asarray(wet3d, bool)
     dtype = coeffs.diag.dtype
     ones = jnp.where(wet, jnp.ones(wet.shape, dtype), 0.0)
     surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
     surf = jnp.where(wet, surf, 0.0)
-    gamma, res = solve_shifted(
+    solver = solve_shifted_ir if refine else solve_shifted
+    gamma, res = solver(
         coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
         method=method, apply_impl=apply_impl,
     )
@@ -289,6 +397,7 @@ def sequestration_time(
     surface_rate: float = 1.0,
     tol: float = 1e-8,
     method: str = "bicgstab",
+    refine: bool = False,
 ):
     """Mean sequestration time (seconds): the adjoint of ideal age —
     expected time for water at each cell to next contact the surface,
@@ -304,7 +413,8 @@ def sequestration_time(
     ones = jnp.where(wet, jnp.ones(wet.shape, dtype), 0.0)
     surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
     surf = jnp.where(wet, surf, 0.0)
-    gamma, res = solve_shifted(
+    solver = solve_shifted_ir if refine else solve_shifted
+    gamma, res = solver(
         coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
         method=method, transpose=True,
     )

@@ -21,11 +21,19 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..grid.topology import GridTopology
 from .coeffs import StencilCoeffs
+
+
+# Kernel index math must stay int32: under jax_enable_x64 a Python-int
+# literal promotes through int64 and Mosaic's int64 conversion helper
+# recurses infinitely during lowering.
+_I32_2 = np.int32(2)
+_I32_3 = np.int32(3)
 
 
 def _stencil_kernel(
@@ -40,8 +48,8 @@ def _stencil_kernel(
 
     nx = chi.shape[1]
     # pltpu.roll requires non-negative shifts: roll(x, nx-1) == roll(x, -1)
-    east = pltpu.roll(chi, nx - 1, 1)  # value at i+1 (periodic)
-    west = pltpu.roll(chi, 1, 1)  # value at i-1
+    east = pltpu.roll(chi, np.int32(nx - 1), 1)  # value at i+1 (periodic)
+    west = pltpu.roll(chi, np.int32(1), 1)  # value at i-1
 
     # j+1 neighbor: shift rows down; the top row wraps across the seam.
     # Mosaic has no in-kernel lane reversal (`rev`), so the i-reversed top
@@ -133,14 +141,14 @@ def _stencil_kernel_carry(
 
     @pl.when(step > 0)
     def _():
-        chi = slot_select((k + 3) % 3)
-        chi_up = slot_select((k + 2) % 3)  # (k-1) mod 3
+        chi = slot_select((k + _I32_3) % _I32_3)
+        chi_up = slot_select((k + _I32_2) % _I32_3)  # (k-1) mod 3
         chi_up = jnp.where(k > 0, chi_up, 0.0)  # slot is garbage at k == 0
         chi_dn = chi_in_ref[0]  # chi[k+1] (clamped at the floor, coef 0)
 
         nx = chi.shape[1]
-        east = pltpu.roll(chi, nx - 1, 1)
-        west = pltpu.roll(chi, 1, 1)
+        east = pltpu.roll(chi, np.int32(nx - 1), 1)
+        west = pltpu.roll(chi, np.int32(1), 1)
         north = jnp.concatenate([chi[1:, :], seam_ref[0]], axis=0)
         south = jnp.concatenate([chi[0:1, :], chi[: ny - 1, :]], axis=0)
 
@@ -156,7 +164,7 @@ def _stencil_kernel_carry(
 
     # Rotate the incoming chi[k+1] into slot (k+1) mod 3 — never a slot
     # read this step, so there is no read/write ordering hazard.
-    write_slot = step % 3
+    write_slot = step % _I32_3
     for slot in range(3):
         @pl.when(write_slot == slot)
         def _(slot=slot):
@@ -234,14 +242,14 @@ def _stencil_kernel_blocked(
 
     @pl.when(step > 0)
     def _():
-        chi = slot_select((k + 3) % 3)
-        chi_up = slot_select((k + 2) % 3)
+        chi = slot_select((k + _I32_3) % _I32_3)
+        chi_up = slot_select((k + _I32_2) % _I32_3)
         chi_up = jnp.where(k > 0, chi_up, 0.0)
         chi_dn = chi_in_ref[0]
 
         nx = chi.shape[1]
-        east = pltpu.roll(chi, nx - 1, 1)
-        west = pltpu.roll(chi, 1, 1)
+        east = pltpu.roll(chi, np.int32(nx - 1), 1)
+        west = pltpu.roll(chi, np.int32(1), 1)
 
         if tripolar:
             last_row = jnp.where(jb == nb - 1, seam_ref[0], north_row_ref[0])
@@ -260,7 +268,7 @@ def _stencil_kernel_blocked(
             acc = chi - dt * acc
         out_ref[0] = acc
 
-    write_slot = step % 3
+    write_slot = step % _I32_3
     for slot in range(3):
         @pl.when(write_slot == slot)
         def _(slot=slot):
@@ -350,6 +358,34 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _x64_off():
+    """Trace-time context forcing 32-bit literal/promotion semantics.
+
+    Mosaic has no i64/f64; under jax_enable_x64 stray Python literals
+    otherwise promote to 64-bit inside the kernel and break lowering
+    (int64 converts recurse, f64 fails to legalize). All kernel operands
+    are 32-bit already, so this only pins literals.
+    """
+    try:
+        from jax._src.config import enable_x64
+
+        return enable_x64(False)
+    except ImportError:  # private API moved: x64 users lose only this guard
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+def _check_32bit(chi, interpret):
+    """Mosaic compilation is 32-bit only; interpret mode (CPU tests)
+    evaluates in plain XLA and may run any dtype."""
+    if not interpret and chi.dtype.itemsize > 4:
+        raise ValueError(
+            f"pallas stencil kernels are 32-bit only (got {chi.dtype}); "
+            "cast to float32/bfloat16 or use ops.apply.apply_stencil"
+        )
+
+
 _FULL_SLAB_VMEM_BUDGET = 64 * 1024 * 1024
 
 
@@ -389,11 +425,18 @@ def apply_stencil_pallas(
     if interpret is None:
         interpret = _default_interpret()
     chi = jnp.asarray(chi)
+    _check_32bit(chi, interpret)
     v = _resolve_variant(variant, topology, chi.dtype.itemsize)
-    if v == "blocked":
-        return _apply_pallas_blocked(coeffs, chi, topology, None, interpret,
-                                     by_static)
-    return _IMPLS[v](coeffs, chi, topology, None, interpret)
+    if interpret:
+        if v == "blocked":
+            return _apply_pallas_blocked(coeffs, chi, topology, None,
+                                         interpret, by_static)
+        return _IMPLS[v](coeffs, chi, topology, None, interpret)
+    with _x64_off():
+        if v == "blocked":
+            return _apply_pallas_blocked(coeffs, chi, topology, None,
+                                         interpret, by_static)
+        return _IMPLS[v](coeffs, chi, topology, None, interpret)
 
 
 def euler_step_pallas(
@@ -410,8 +453,15 @@ def euler_step_pallas(
     if interpret is None:
         interpret = _default_interpret()
     chi = jnp.asarray(chi)
+    _check_32bit(chi, interpret)
     v = _resolve_variant(variant, topology, chi.dtype.itemsize)
-    if v == "blocked":
-        return _apply_pallas_blocked(coeffs, chi, topology, float(dt),
-                                     interpret, by_static)
-    return _IMPLS[v](coeffs, chi, topology, float(dt), interpret)
+    if interpret:
+        if v == "blocked":
+            return _apply_pallas_blocked(coeffs, chi, topology, float(dt),
+                                         interpret, by_static)
+        return _IMPLS[v](coeffs, chi, topology, float(dt), interpret)
+    with _x64_off():
+        if v == "blocked":
+            return _apply_pallas_blocked(coeffs, chi, topology, float(dt),
+                                         interpret, by_static)
+        return _IMPLS[v](coeffs, chi, topology, float(dt), interpret)

@@ -166,3 +166,39 @@ def test_sequestration_with_tridiag(ops, gridmetrics, indices):
     gamma, res = sequestration_time(ops.T, indices.wet3d, gridmetrics.topology)
     assert float(res) < 1e-6
     assert np.isfinite(np.asarray(gamma)[wet]).all()
+
+
+def test_ideal_age_iterative_refinement(ops, gridmetrics, indices):
+    """f32 coefficients + mixed-precision refinement reach residuals far
+    below the f32 Krylov floor, and the age field matches the f64 solve."""
+    import jax
+
+    c32 = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32), ops.T
+    )
+    wet = np.asarray(indices.wet3d)
+    gamma, res = ideal_age(
+        c32, indices.wet3d, gridmetrics.topology, tol=1e-9, refine=True
+    )
+    assert float(res) < 1e-9  # vs its own (promoted) operator
+
+    ref, _ = ideal_age(ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10)
+    # the operators differ by f32 coefficient rounding (~1e-7 relative)
+    np.testing.assert_allclose(
+        np.asarray(gamma)[wet], np.asarray(ref)[wet], rtol=1e-3, atol=1.0
+    )
+
+
+def test_sequestration_time_iterative_refinement(ops, gridmetrics, indices):
+    """Refined transpose solve: residual below f32 floor."""
+    import jax
+
+    from otmb_tpu.models.solvers import sequestration_time
+
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    gd, res = sequestration_time(
+        c32, indices.wet3d, gridmetrics.topology, tol=1e-9, refine=True
+    )
+    assert float(res) < 1e-9
+    wet = np.asarray(indices.wet3d)
+    assert np.isfinite(np.asarray(gd)[wet]).all()
