@@ -39,10 +39,20 @@ def main():
     parser.add_argument("--scale", choices=["1deg", "quarter"], default="1deg",
                         help="grid size: ACCESS 1-degree (default) or "
                              "ACCESS-OM2 0.25-degree (1440x1080x75)")
+    parser.add_argument("--workload", choices=["assembly", "idealage"],
+                        default="assembly",
+                        help="assembly: the headline assembly+apply metric; "
+                             "idealage: full-resolution steady-state ideal-"
+                             "age solve (mixed-precision refined Krylov)")
     args = parser.parse_args()
     nx, ny, nz = (NX, NY, NZ) if args.scale == "1deg" else QUARTER_DEGREE
 
     import jax
+
+    if args.workload == "idealage":
+        # f64 defect correction needs x64 in-process (TPU emulates f64).
+        jax.config.update("jax_enable_x64", True)
+
     import jax.numpy as jnp
 
     import otmb_tpu as otmb
@@ -72,6 +82,49 @@ def main():
     )(gm, wet3d, umo, vmo, mlotst)
     jax.block_until_ready(coeffs)
     dt = np.float32(100.0)
+
+    if args.workload == "idealage":
+        # Steady-state ideal mean age on the FULL grid, solved matrix-free
+        # with f32 Krylov + f64 iterative refinement to ~1e-10 relative
+        # residual. Reference anecdote: (T_c+M_c)\s on a 2x2x1-COARSENED
+        # (4x smaller) ACCESS matrix takes ~3 min on an M2 MacBook Air
+        # (test/local_full.jl:165-168) — used as the baseline time even
+        # though this solve is at full resolution.
+        coeffs = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), coeffs
+        )
+        gamma, res = otmb.ideal_age(
+            coeffs, wet3d, topo, tol=1e-9, apply_impl="pallas", refine=True
+        )
+        float(res)  # warm-up/compile
+        ts = []
+        for k in range(3):
+            rate = np.float32(1.0 + 1e-3 * (k + 1))
+            t0 = time.perf_counter()
+            gamma, res = otmb.ideal_age(
+                coeffs, wet3d, topo, tol=1e-9, surface_rate=rate,
+                apply_impl="pallas", refine=True,
+            )
+            resf = float(res)
+            ts.append(time.perf_counter() - t0)
+        t_solve = float(np.median(ts))
+        mean_age_yr = float(jnp.nanmean(gamma)) / (86400 * 365.25)
+        print(
+            f"# ideal-age solve ({nx}x{ny}x{nz}, full resolution): "
+            f"{t_solve:.2f} s, rel residual {resf:.2e}, mean age "
+            f"{mean_age_yr:.2f} yr", file=sys.stderr,
+        )
+        assert resf < 1e-8
+        baseline_s = 180.0
+        print(json.dumps({
+            "metric": "ideal-age steady-state solve seconds, full-resolution "
+                      f"{nx}x{ny}x{nz} grid (f64-refined; reference: ~180 s "
+                      "direct solve on a 4x-coarsened matrix)",
+            "value": t_solve,
+            "unit": "seconds",
+            "vs_baseline": baseline_s / t_solve,
+        }))
+        return
 
     def chain_time(step_fn, x0, operand, nsteps):
         """Per-step time of a data-dependent in-jit chain, by slope.
