@@ -241,3 +241,35 @@ def test_sharded_ideal_age_and_redi(mesh, dataset, gridmetrics, indices):
     out = redi_apply(op_sh, chi_sh)
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_iterative_refinement(mesh, dataset, gridmetrics, indices):
+    """The mixed-precision refined solve GSPMD-partitions like the plain
+    solve: f32 coefficients sharded over the mesh, f64 defect correction,
+    residual below the f32 floor, matching the f64 single-device solve."""
+    from otmb_tpu.models.solvers import ideal_age
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+
+    ref_age, _ = ideal_age(ops.T, indices.wet3d, topo, tol=1e-11)
+
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    c32_sh = shard_pytree(mesh, c32)
+    wet_sh = jax.device_put(indices.wet3d, sharding_for(mesh, indices.wet3d))
+    age_sh, res = ideal_age(c32_sh, wet_sh, topo, tol=1e-9, refine=True)
+    assert float(res) < 1e-9
+    assert len(age_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(age_sh)[wet], np.asarray(ref_age)[wet], rtol=1e-3, atol=1.0
+    )
