@@ -37,7 +37,12 @@ from .models.solvers import (
 )
 from .models.transport import assemble_transport
 from .ops.assemble_pallas import assemble_T_pallas
-from .ops.apply import apply_stencil, apply_stencil_transpose, operator_diagnostics
+from .ops.apply import (
+    apply_stencil,
+    apply_stencil_transpose,
+    operator_diagnostics,
+    transpose_coeffs,
+)
 from .ops.coeffs import StencilCoeffs, add_coeffs
 from .ops.fluxes import FaceFluxes, facefluxes, facefluxesfrommasstransport
 from .ops.stencil_pallas import apply_stencil_pallas, euler_step_pallas
@@ -77,6 +82,7 @@ __all__ = [
     "buildTkVdeep",
     "apply_stencil",
     "apply_stencil_transpose",
+    "transpose_coeffs",
     "operator_diagnostics",
     "StencilCoeffs",
     "add_coeffs",

@@ -166,29 +166,34 @@ def solve_shifted(
     the fused Pallas stencil kernel — ~2x faster per Krylov iteration on
     a single chip, but not partitionable by GSPMD: keep the default
     "jnp" when the solve runs sharded under a device mesh (use
-    parallel/halo_pallas for the sharded hot path instead). Ignored for
-    transpose solves (no transpose kernel).
+    parallel/halo_pallas for the sharded hot path instead). Transpose
+    solves run the forward kernel on `transpose_coeffs` (the stencil form
+    of T').
     """
     from ..ops.apply import apply_stencil_transpose
 
     b = jnp.asarray(b)
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
-    if transpose:
-        apply = apply_stencil_transpose
-    elif apply_impl == "pallas":
+    if apply_impl == "pallas":
         if method != "bicgstab":
             raise ValueError(
                 "apply_impl='pallas' requires method='bicgstab' (jax.scipy "
                 "gmres transposes the matvec, impossible for a Pallas call)"
             )
+        from ..ops.apply import transpose_coeffs
         from ..ops.stencil_pallas import apply_stencil_pallas
 
         apply = apply_stencil_pallas
+        apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
+    elif transpose:
+        apply = apply_stencil_transpose
+        apply_coeffs = coeffs
     else:
         apply = apply_stencil
+        apply_coeffs = coeffs
 
     def a_op(x):
-        return shift * x + extra * x + apply(coeffs, x, topology)
+        return shift * x + extra * x + apply(apply_coeffs, x, topology)
 
     shifted_diag = shift + extra + coeffs.diag
     if preconditioner == "tridiag":
@@ -210,7 +215,7 @@ def solve_shifted(
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
     if method == "bicgstab":
-        if apply_impl == "pallas" and not transpose:
+        if apply_impl == "pallas":
             # jax.scipy's bicgstab wraps the matvec in custom_linear_solve,
             # which transposes it symbolically — impossible for the opaque
             # Pallas call. Same algorithm, plain while_loop.
@@ -397,6 +402,7 @@ def sequestration_time(
     surface_rate: float = 1.0,
     tol: float = 1e-8,
     method: str = "bicgstab",
+    apply_impl: str = "jnp",
     refine: bool = False,
 ):
     """Mean sequestration time (seconds): the adjoint of ideal age —
@@ -416,6 +422,6 @@ def sequestration_time(
     solver = solve_shifted_ir if refine else solve_shifted
     gamma, res = solver(
         coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-        method=method, transpose=True,
+        method=method, transpose=True, apply_impl=apply_impl,
     )
     return jnp.where(wet, gamma, jnp.nan), res

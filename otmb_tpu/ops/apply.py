@@ -46,6 +46,37 @@ def apply_stencil_transpose(coeffs: StencilCoeffs, chi, topology: GridTopology):
     return acc
 
 
+def transpose_coeffs(coeffs: StencilCoeffs, topology: GridTopology) -> StencilCoeffs:
+    """The stencil representation of T', so the *forward* apply machinery
+    (including the fused Pallas kernel) can run adjoint problems:
+
+        apply_stencil(transpose_coeffs(c), x) == apply_stencil_transpose(c, x)
+
+    T'[c, j] = T[j, c]: the coefficient multiplying x[nb_d(c)] in T' is the
+    coefficient with which nb_d(c) points back at c in T, i.e. the
+    *opposite* leg gathered from the d-neighbor (east'<-west, top'<-bottom,
+    ...). The one non-paired case is the tripolar seam: the fold is its own
+    inverse, so a top-row cell is pointed at by its fold partner's NORTH
+    leg (not south), and the north' top row gathers coeffs.north across the
+    fold (reference fold semantics: gridtopology.jl:94-95). Cost: seven
+    gathers, one-time per solve — negligible against Krylov iterations.
+    """
+    nv = lambda a, d: neighbor_values(a, d, topology, fill=0.0)
+    north = nv(coeffs.south, "north")
+    if topology.is_tripolar:
+        fold_north = nv(coeffs.north, "north")
+        north = north.at[:, -1, :].set(fold_north[:, -1, :])
+    return StencilCoeffs(
+        diag=coeffs.diag,
+        east=nv(coeffs.west, "east"),
+        west=nv(coeffs.east, "west"),
+        north=north,
+        south=nv(coeffs.north, "south"),
+        top=nv(coeffs.bottom, "top"),
+        bottom=nv(coeffs.top, "bottom"),
+    )
+
+
 def operator_diagnostics(coeffs: StencilCoeffs, v3d, wet3d, topology: GridTopology):
     """Divergence / volume-conservation timescales (seconds).
 

@@ -202,3 +202,49 @@ def test_sequestration_time_iterative_refinement(ops, gridmetrics, indices):
     assert float(res) < 1e-9
     wet = np.asarray(indices.wet3d)
     assert np.isfinite(np.asarray(gd)[wet]).all()
+
+
+def test_transpose_coeffs_matches_transpose_apply(ops, gridmetrics, indices):
+    """apply_stencil(transpose_coeffs(T), x) == apply_stencil_transpose(T, x)
+    — the stencil form of T' feeding the forward (Pallas-capable) apply,
+    including the tripolar fold case."""
+    from otmb_tpu.ops.apply import (
+        apply_stencil,
+        apply_stencil_transpose,
+        transpose_coeffs,
+    )
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(7)
+    x = np.where(wet, rng.standard_normal(wet.shape), 0.0)
+
+    ref = np.asarray(apply_stencil_transpose(ops.T, x, topo))
+    ct = transpose_coeffs(ops.T, topo)
+    got = np.asarray(apply_stencil(ct, x, topo))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-18)
+
+    # involution: (T')' == T, leg by leg
+    back = transpose_coeffs(ct, topo)
+    for leg, orig in zip(back, ops.T):
+        np.testing.assert_allclose(np.asarray(leg), np.asarray(orig),
+                                   rtol=1e-12, atol=0.0)
+
+
+def test_sequestration_time_pallas_apply(ops, gridmetrics, indices):
+    """Adjoint solve through the Pallas fast path (interpret mode on CPU)
+    reproduces the jnp transpose solve."""
+    from otmb_tpu.models.solvers import sequestration_time
+
+    ref, _ = sequestration_time(
+        ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10
+    )
+    out, res = sequestration_time(
+        ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10,
+        apply_impl="pallas",
+    )
+    assert float(res) < 1e-6
+    wet = np.asarray(indices.wet3d)
+    np.testing.assert_allclose(
+        np.asarray(out)[wet], np.asarray(ref)[wet], rtol=1e-6, atol=1e-4
+    )
