@@ -59,28 +59,38 @@ def _masked_mean2(a, b):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RediOperator:
-    """Precomputed face geometry and tapered slopes for `redi_apply`.
+    """Precomputed face geometry, tapered slopes, and derivative weights.
 
-    All `a*` factors are exactly zero on faces that touch land or the
-    domain boundary, which is what enforces no-flux boundaries.
+    The operator is stored in pure *linear-coefficient* form: every mask,
+    NaN-guard, and distance division of the discretization is folded into
+    chi-independent coefficient fields at build time, so the apply is a
+    branch-free multiply-add stencil (jnp or the fused Pallas kernel) —
+    cell-centered derivatives are
+
+        dc/dzeta = cz_u * (chi_up - chi) + cz_d * (chi - chi_dn)
+
+    with cz_* already carrying the one-sided-estimate weights (the
+    NaN-aware mean of dyads.jl semantics) and the 1/distance. All `a*`
+    face factors are exactly zero on faces touching land or the domain
+    boundary, which enforces no-flux boundaries.
     """
 
-    ae_over_d: jax.Array  # east faces: kappa * A / d
     ae: jax.Array  # east faces: kappa * A
     s_e: jax.Array  # east-face slope S_x
-    an_over_d: jax.Array  # north faces
-    an: jax.Array
+    an: jax.Array  # north faces: kappa * A
     s_n: jax.Array
-    at_over_dz: jax.Array  # top faces: kappa * A / dz
     at: jax.Array  # top faces: kappa * A
     s_ti: jax.Array  # top-face S_x
     s_tj: jax.Array  # top-face S_y
-    dz_up: jax.Array  # |z - z_above|, 1 where no above cell
-    dz_dn: jax.Array  # |z_below - z|, 1 where none
-    dist_e: jax.Array  # (ny, nx) center-to-east-neighbor distance
-    dist_w: jax.Array
-    dist_n: jax.Array
-    dist_s: jax.Array
+    g_t: jax.Array  # top faces: (S_x^2 + S_y^2) / dz
+    cz_u: jax.Array  # weights of the cell-centered derivatives
+    cz_d: jax.Array
+    cx_e: jax.Array
+    cx_w: jax.Array
+    cy_n: jax.Array
+    cy_s: jax.Array
+    inv_de: jax.Array  # (ny, nx) 1 / center-to-east-neighbor distance
+    inv_dn: jax.Array  # (ny, nx) 1 / center-to-north-neighbor distance
     inv_v: jax.Array  # 1/V on wet cells, 0 on land
     wet: jax.Array
     topology: GridTopology = dataclasses.field(metadata=dict(static=True))
@@ -120,7 +130,6 @@ def build_redi_operator(
     )
     area_e = jnp.where(e_wet, thk_e * gm.edge_length["east"], 0.0)
     ae = kappa_redi * _safe(area_e)
-    ae_over_d = _safe(ae / gm.distance_to_neighbour["east"])
     s_e = jnp.where(e_wet, face_mean(s_i, "east"), 0.0)
 
     # --- north faces ---
@@ -134,7 +143,6 @@ def build_redi_operator(
     )
     area_n = jnp.where(n_wet, thk_n * gm.edge_length["north"], 0.0)
     an = kappa_redi * _safe(area_n)
-    an_over_d = _safe(an / gm.distance_to_neighbour["north"])
     s_n = jnp.where(n_wet, face_mean(s_j, "north"), 0.0)
     if topo.is_tripolar:
         # Across the seam the j-orientation flips, which would break the
@@ -148,22 +156,44 @@ def build_redi_operator(
     z = gm.z3d
     dz_up = jnp.abs(neighbor_values(z, "top", topo, fill=jnp.nan) - z)
     dz_up_safe = jnp.where(t_wet, dz_up, 1.0)
+    b_wet = wet & neighbor_values(wet, "bottom", topo, fill=False)
     dz_dn = jnp.abs(neighbor_values(z, "bottom", topo, fill=jnp.nan) - z)
     dz_dn_safe = jnp.where(jnp.isfinite(dz_dn), dz_dn, 1.0)
     at = jnp.where(t_wet, kappa_redi * gm.area2d, 0.0)
-    at_over_dz = at / dz_up_safe
     s_ti = jnp.where(t_wet, face_mean(s_i, "top"), 0.0)
     s_tj = jnp.where(t_wet, face_mean(s_j, "top"), 0.0)
+    g_t = (s_ti**2 + s_tj**2) / dz_up_safe
+
+    # --- cell-centered derivative weights (chi-independent) ---
+    # dcz = cz_u*(chi_up - chi) + cz_d*(chi - chi_dn): the NaN-aware mean
+    # of the one-sided estimates, with weight 1 only where both cells of
+    # the leg are wet (and the neighbor exists) and 1/distance folded in.
+    dist = gm.distance_to_neighbour
+
+    def deriv_weights(w_fwd, d_fwd, w_bwd, d_bwd):
+        wf = w_fwd & jnp.isfinite(d_fwd)
+        wb = w_bwd & jnp.isfinite(d_bwd)
+        den = jnp.maximum(wf.astype(at.dtype) + wb.astype(at.dtype), 1.0)
+        cf = jnp.where(wf, 1.0 / (den * jnp.where(wf, d_fwd, 1.0)), 0.0)
+        cb = jnp.where(wb, 1.0 / (den * jnp.where(wb, d_bwd, 1.0)), 0.0)
+        return cf, cb
+
+    w_wet = wet & neighbor_values(wet, "west", topo, fill=False)
+    s_wetm = (
+        wet
+        & neighbor_values(wet, "south", topo, fill=False)
+        & neighbor_valid("south", topo)
+    )
+    cz_u, cz_d = deriv_weights(t_wet, dz_up_safe, b_wet, dz_dn_safe)
+    cx_e, cx_w = deriv_weights(e_wet, dist["east"], w_wet, dist["west"])
+    cy_n, cy_s = deriv_weights(n_wet, dist["north"], s_wetm, dist["south"])
 
     return RediOperator(
-        ae_over_d=ae_over_d, ae=ae, s_e=s_e,
-        an_over_d=an_over_d, an=an, s_n=s_n,
-        at_over_dz=at_over_dz, at=at, s_ti=s_ti, s_tj=s_tj,
-        dz_up=dz_up_safe, dz_dn=dz_dn_safe,
-        dist_e=gm.distance_to_neighbour["east"],
-        dist_w=gm.distance_to_neighbour["west"],
-        dist_n=gm.distance_to_neighbour["north"],
-        dist_s=gm.distance_to_neighbour["south"],
+        ae=ae, s_e=s_e, an=an, s_n=s_n,
+        at=at, s_ti=s_ti, s_tj=s_tj, g_t=g_t,
+        cz_u=cz_u, cz_d=cz_d, cx_e=cx_e, cx_w=cx_w, cy_n=cy_n, cy_s=cy_s,
+        inv_de=_safe(1.0 / gm.distance_to_neighbour["east"]),
+        inv_dn=_safe(1.0 / gm.distance_to_neighbour["north"]),
         inv_v=jnp.where(wet, 1.0 / gm.v3d, 0.0),
         wet=wet,
         topology=topo,
@@ -172,40 +202,42 @@ def build_redi_operator(
 
 @jax.jit
 def redi_apply(op: RediOperator, chi):
-    """d(chi)/dt contribution of Redi isoneutral diffusion (chi/s)."""
+    """d(chi)/dt contribution of Redi isoneutral diffusion (chi/s).
+
+    Branch-free linear stencil: every mask/NaN-guard lives in the
+    precomputed coefficients (see RediOperator), so this is seven shifted
+    multiply-adds per stage — the same algebra the fused Pallas kernel
+    (redi_apply_pallas) executes slab by slab.
+    """
     topo = op.topology
-    chi = jnp.asarray(chi)
-    chif = jnp.where(op.wet, chi, jnp.nan)
+    chi = jnp.where(op.wet, jnp.asarray(chi), 0.0)
 
-    nb = lambda d: neighbor_values(chif, d, topo, fill=jnp.nan)
+    nb = lambda x, d: neighbor_values(x, d, topo, fill=0.0)
+    chi_e, chi_w = nb(chi, "east"), nb(chi, "west")
+    chi_n, chi_s = nb(chi, "north"), nb(chi, "south")
+    chi_u, chi_d = nb(chi, "top"), nb(chi, "bottom")
 
-    # Cell-centered derivatives (NaN-aware mean of one-sided estimates).
-    # zeta (height, up-positive): (chi_above - chi)/dz is already d/dzeta.
-    dcz = _masked_mean2((nb("top") - chif) / op.dz_up, (chif - nb("bottom")) / op.dz_dn)
-    dcx = _masked_mean2((nb("east") - chif) / op.dist_e, (chif - nb("west")) / op.dist_w)
-    dcy = _masked_mean2((nb("north") - chif) / op.dist_n, (chif - nb("south")) / op.dist_s)
+    # Cell-centered derivatives (weights carry masks and 1/distance).
+    dcz = op.cz_u * (chi_u - chi) + op.cz_d * (chi - chi_d)
+    dcx = op.cx_e * (chi_e - chi) + op.cx_w * (chi - chi_w)
+    dcy = op.cy_n * (chi_n - chi) + op.cy_s * (chi - chi_s)
 
     # --- east-face flux (+x orientation) ---
-    de = _safe(nb("east") - chif)
-    dcz_e = 0.5 * (dcz + _safe(neighbor_values(dcz, "east", topo, fill=jnp.nan)))
-    f_e = op.ae_over_d * de + op.ae * op.s_e * dcz_e
+    dcz_e = 0.5 * (dcz + nb(dcz, "east"))
+    f_e = op.ae * (op.inv_de * (chi_e - chi) + op.s_e * dcz_e)
 
     # --- north-face flux (+y orientation; seam cross term disabled) ---
-    dn = _safe(nb("north") - chif)
-    dcz_n = 0.5 * (dcz + _safe(neighbor_values(dcz, "north", topo, fill=jnp.nan)))
-    f_n = op.an_over_d * dn + op.an * op.s_n * dcz_n
+    dcz_n = 0.5 * (dcz + nb(dcz, "north"))
+    f_n = op.an * (op.inv_dn * (chi_n - chi) + op.s_n * dcz_n)
 
     # --- top-face flux (+zeta / upward orientation) ---
-    dt_ = _safe(nb("top") - chif)  # (chi_above - chi)
-    dcx_t = 0.5 * (dcx + _safe(neighbor_values(dcx, "top", topo, fill=jnp.nan)))
-    dcy_t = 0.5 * (dcy + _safe(neighbor_values(dcy, "top", topo, fill=jnp.nan)))
-    s2 = op.s_ti**2 + op.s_tj**2
-    f_t = op.at * (op.s_ti * dcx_t + op.s_tj * dcy_t) + op.at_over_dz * s2 * dt_
+    dcx_t = 0.5 * (dcx + nb(dcx, "top"))
+    dcy_t = 0.5 * (dcy + nb(dcy, "top"))
+    f_t = op.at * (op.s_ti * dcx_t + op.s_tj * dcy_t
+                   + op.g_t * (chi_u - chi))
 
     # Divergence: + own outward faces, - the shared faces owned by the
     # west/south/below neighbors.
-    f_e_w = neighbor_values(f_e, "west", topo, fill=0.0)
-    f_n_s = neighbor_values(f_n, "south", topo, fill=0.0)
-    f_t_b = neighbor_values(f_t, "bottom", topo, fill=0.0)
-
-    return op.inv_v * (f_e - f_e_w + f_n - f_n_s + f_t - f_t_b)
+    return op.inv_v * (
+        f_e - nb(f_e, "west") + f_n - nb(f_n, "south") + f_t - nb(f_t, "bottom")
+    )
