@@ -23,6 +23,8 @@ from .models.transport import (
     buildTkVML,
     transportmatrix,
 )
+from .models.redi import RediOperator, build_redi_operator, redi_apply
+from .models.redi_pallas import redi_apply_pallas
 from .models.redigm import (
     add_bolus_transports,
     bolus_gm_velocity,
@@ -106,6 +108,10 @@ __all__ = [
     "add_bolus_transports",
     "density_slopes",
     "potential_density_slopes",
+    "RediOperator",
+    "build_redi_operator",
+    "redi_apply",
+    "redi_apply_pallas",
     "lump_and_spray",
     "coeffs_to_scipy",
     "synthetic_dataset",

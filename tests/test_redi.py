@@ -101,3 +101,39 @@ def test_isoneutral_suppression(rho, redi_op, gridmetrics, indices):
     norm = lambda t: float(np.sqrt((t**2 * v).sum()))
     # not zero (discrete truncation + taper), but clearly suppressed
     assert norm(tend_aligned) < 0.8 * norm(tend_mis)
+
+
+def test_pallas_redi_matches_jnp(redi_op, gridmetrics, indices):
+    """The fused Pallas Redi kernel (interpret mode on CPU) reproduces the
+    jnp linear-coefficient apply to float reassociation accuracy."""
+    from otmb_tpu.models.redi_pallas import redi_apply_pallas
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(11)
+    chi = np.where(wet, 1.0 + rng.standard_normal(gridmetrics.shape), 0.0)
+
+    ref = np.asarray(redi_apply(redi_op, chi))
+    got = np.asarray(redi_apply_pallas(redi_op, chi, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_pallas_redi_conserves_and_kills_constants(redi_op, gridmetrics,
+                                                   indices):
+    """Physics invariants hold through the kernel path: volume-integrated
+    tendency is zero (conservation) and constants are in the null space."""
+    from otmb_tpu.models.redi_pallas import redi_apply_pallas
+
+    wet = np.asarray(indices.wet3d)
+    v = np.where(wet, np.asarray(gridmetrics.v3d), 0.0)
+    rng = np.random.default_rng(12)
+    chi = np.where(wet, 1.0 + 0.5 * rng.standard_normal(wet.shape), 0.0)
+
+    tend = np.asarray(redi_apply_pallas(redi_op, chi, interpret=True))
+    total = float(np.sum(tend * v))
+    scale = float(np.sum(np.abs(tend) * v)) or 1.0
+    assert abs(total) / scale < 1e-12
+
+    const = np.where(wet, 3.0, 0.0)
+    t0 = np.asarray(redi_apply_pallas(redi_op, const, interpret=True))
+    assert np.abs(t0[wet]).max() < 1e-15
