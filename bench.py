@@ -230,6 +230,30 @@ def main():
         file=sys.stderr,
     )
 
+    if args.scale == "1deg":
+        # Redi isoneutral diffusion step through the fused kernel
+        # (diagnostic only; beyond the reference's capability set).
+        from otmb_tpu.models.redi import build_redi_operator
+        from otmb_tpu.models.redi_pallas import redi_apply_pallas
+
+        rho = jnp.where(
+            wet3d,
+            1025.0 + 0.02 * gm.z3d
+            + 2e-4 * gm.z3d * jnp.cos(2 * jnp.deg2rad(gm.lon)),
+            jnp.nan,
+        ).astype(jnp.float32)
+        redi_op = jax.jit(build_redi_operator)(rho, gm, wet3d)
+        jax.block_until_ready(redi_op)
+        t_redi = chain_time(
+            lambda c, op_: c + dt * redi_apply_pallas(op_, c), chi0, redi_op,
+            max(nsteps // 4, 10),
+        )
+        print(
+            f"# pallas redi step (19-pt isoneutral): {t_redi*1e6:.0f} us "
+            f"({1/t_redi:.0f} steps/s)",
+            file=sys.stderr,
+        )
+
     # Assembly: the fused Pallas assembly kernel (falls back to the XLA
     # pipeline at 0.25-degree scale, where the slab set exceeds VMEM).
     # Scalar feedback goes through mlotst (it genuinely changes the
