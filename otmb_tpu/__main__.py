@@ -88,11 +88,17 @@ def cmd_diagnose(args) -> int:
 
 
 def cmd_idealage(args) -> int:
-    from otmb_tpu.models.solvers import ideal_age
+    from otmb_tpu.models.solvers import ideal_age, sequestration_time
     from otmb_tpu.utils.checkpoint import save_state
 
+    if args.refine:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     coeffs, topo, v3d, wet = _load_op(args.operator)
-    gamma, res = ideal_age(coeffs, wet, topo, tol=args.tol)
+    solve = sequestration_time if args.adjoint else ideal_age
+    gamma, res = solve(coeffs, wet, topo, tol=args.tol, refine=args.refine,
+                       apply_impl=args.apply_impl)
     gamma = np.asarray(gamma)
     yr = 365.25 * 24 * 3600
     v = np.asarray(v3d)[wet]
@@ -125,6 +131,16 @@ def main(argv=None) -> int:
     p.add_argument("operator")
     p.add_argument("output")
     p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--refine", action="store_true",
+                   help="mixed-precision iterative refinement (f32 Krylov + "
+                        "f64 defect correction; needed for tight tolerances "
+                        "on TPU)")
+    p.add_argument("--adjoint", action="store_true",
+                   help="solve sequestration time (T' + M) instead")
+    p.add_argument("--apply-impl", choices=["jnp", "pallas"], default="jnp",
+                   dest="apply_impl",
+                   help="inner matvec: jnp (GSPMD-shardable) or the fused "
+                        "Pallas kernel (fastest single-chip)")
     p.set_defaults(fn=cmd_idealage)
 
     args = parser.parse_args(argv)
