@@ -173,6 +173,172 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
     )
 
 
+def _redi_kernel_blocked(
+    chi_c_ref, chi_u_ref, chi_d_ref,
+    ae_ref, se_ref, an_ref, sn_ref,
+    czu_ref, czd_ref, cxe_ref, cxw_ref, cyn_ref, cys_ref,
+    at1_ref, sti1_ref, stj1_ref, gt1_ref, invv1_ref,
+    invde_ref, invdn_ref,
+    chin_ref, chis_ref, dczn_ref, fns_ref,
+    out_ref,
+    fe_s, fn_s, dcx_s, dcy_s, ft_s,
+    *,
+    by: int,
+):
+    """j-blocked variant of `_redi_kernel` for grids whose slab set
+    exceeds VMEM (0.25-degree scale). The j-halo quantities — the chi
+    rows just outside the block, the dcz row above (the cross term is
+    live at interior block edges), and the f_n row below (needed by the
+    divergence's south shift) — arrive as tiny (1, nx) side streams
+    pre-gathered outside the kernel."""
+    s = pl.program_id(1)
+
+    fe_prev = fe_s[...]
+    fn_prev = fn_s[...]
+    dcx_prev = dcx_s[...]
+    dcy_prev = dcy_s[...]
+    ft_prev = ft_s[...]
+
+    chi = chi_c_ref[0]
+    chi_u = chi_u_ref[0]
+    chi_d = chi_d_ref[0]
+    nx = chi.shape[1]
+
+    chi_e = pltpu.roll(chi, np.int32(nx - 1), 1)
+    chi_w = pltpu.roll(chi, np.int32(1), 1)
+    chi_n = jnp.concatenate([chi[1:, :], chin_ref[0]], axis=0)
+    chi_s = jnp.concatenate([chis_ref[0], chi[: by - 1, :]], axis=0)
+
+    up = lambda r: r[0]
+    dcz = up(czu_ref) * (chi_u - chi) + up(czd_ref) * (chi - chi_d)
+    dcx = up(cxe_ref) * (chi_e - chi) + up(cxw_ref) * (chi - chi_w)
+    dcy = up(cyn_ref) * (chi_n - chi) + up(cys_ref) * (chi - chi_s)
+
+    dcz_e = 0.5 * (dcz + pltpu.roll(dcz, np.int32(nx - 1), 1))
+    # interior block edges have a live cross term: real north row streamed
+    dcz_n = 0.5 * (dcz + jnp.concatenate([dcz[1:, :], dczn_ref[0]], axis=0))
+    f_e = up(ae_ref) * (up(invde_ref) * (chi_e - chi) + up(se_ref) * dcz_e)
+    f_n = up(an_ref) * (up(invdn_ref) * (chi_n - chi) + up(sn_ref) * dcz_n)
+
+    dcx_t = 0.5 * (dcx_prev + dcx)
+    dcy_t = 0.5 * (dcy_prev + dcy)
+    ft_new = up(at1_ref) * (
+        up(sti1_ref) * dcx_t + up(stj1_ref) * dcy_t
+        + up(gt1_ref) * (chi - chi_d)
+    )
+    ft_new = jnp.where(s > 0, ft_new, 0.0)
+
+    @pl.when(s > 0)
+    def _():
+        fe_w = pltpu.roll(fe_prev, np.int32(1), 1)
+        fn_sh = jnp.concatenate([fns_ref[0], fn_prev[: by - 1, :]], axis=0)
+        out_ref[0] = up(invv1_ref) * (
+            fe_prev - fe_w + fn_prev - fn_sh + ft_new - ft_prev
+        )
+
+    fe_s[...] = f_e
+    fn_s[...] = f_n
+    dcx_s[...] = dcx
+    dcy_s[...] = dcy
+    ft_s[...] = ft_new
+
+
+def _rows_dcz(op: RediOperator, chi, rows):
+    """dcz (cell-centered vertical derivative) at the given j rows, from
+    row gathers only — (nz, len(rows), nx)."""
+    chi_r = chi[:, rows, :]
+    chi_up = jnp.concatenate([chi_r[:1], chi_r[:-1]], axis=0)  # cz_u(0)==0
+    chi_dn = jnp.concatenate([chi_r[1:], chi_r[-1:]], axis=0)  # cz_d(nz-1)==0
+    return (op.cz_u[:, rows, :] * (chi_up - chi_r)
+            + op.cz_d[:, rows, :] * (chi_r - chi_dn))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "by_static"))
+def _redi_pallas_blocked(op: RediOperator, chi, interpret: bool,
+                         by_static=None):
+    topo = op.topology
+    nz, ny, nx = topo.shape3d
+    chi = jnp.where(op.wet, jnp.asarray(chi), 0.0)
+    dtype = chi.dtype
+
+    by = by_static if by_static else _pick_redi_block(ny, nx, dtype.itemsize)
+    nb = ny // by
+
+    idx_n = np.minimum((np.arange(nb) + 1) * by, ny - 1)
+    idx_s = np.maximum(np.arange(nb) * by - 1, 0)
+
+    # chi rows just outside each block. The last block's north row is the
+    # global boundary: the i-reversed seam row (tripolar; its coefficients
+    # are live) or a dead row (bipolar; coefficients zero).
+    chi_nrows = chi[:, idx_n, :]
+    if topo.is_tripolar:
+        chi_nrows = chi_nrows.at[:, -1, :].set(chi[:, ny - 1, ::-1])
+    chi_srows = chi[:, idx_s, :]
+
+    # dcz at the row above each block (zero-multiplied for the last block:
+    # s_n == 0 at the seam, an == 0 at a bipolar top row).
+    dcz_nrows = _rows_dcz(op, chi, idx_n)
+
+    # f_n at the row below each block, for the divergence's south shift.
+    # Pure row algebra; the row above idx_s is the block's own first row
+    # (never the seam: idx_s <= ny - by - 1). Block 0 has no south face.
+    dcz_s = _rows_dcz(op, chi, idx_s)
+    dcz_s1 = _rows_dcz(op, chi, idx_s + 1)
+    fn_srows = op.an[:, idx_s, :] * (
+        op.inv_dn[idx_s, :] * (chi[:, idx_s + 1, :] - chi[:, idx_s, :])
+        + op.s_n[:, idx_s, :] * 0.5 * (dcz_s + dcz_s1)
+    )
+    fn_srows = fn_srows.at[:, 0, :].set(0.0)
+
+    rows = lambda a: a.astype(dtype).reshape(nz * nb, 1, nx)
+
+    kp_i = lambda jb, s: (jnp.clip(nz - 1 - s, 0, nz - 1), jb, 0)
+    kp_up_i = lambda jb, s: (jnp.clip(nz - 2 - s, 0, nz - 1), jb, 0)
+    kp1_i = lambda jb, s: (jnp.clip(nz - s, 0, nz - 1), jb, 0)
+    row_kp = lambda jb, s: (jnp.clip(nz - 1 - s, 0, nz - 1) * nb + jb, 0, 0)
+    row_kp1 = lambda jb, s: (jnp.clip(nz - s, 0, nz - 1) * nb + jb, 0, 0)
+    const2d = lambda jb, s: (0, jb, 0)
+
+    def spec(index_map, block=(1, by, nx)):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_redi_kernel_blocked, by=by)
+    f = lambda a: a.astype(dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nz + 1),
+        in_specs=(
+            [spec(kp_i), spec(kp_up_i), spec(kp1_i)]
+            + [spec(kp_i)] * 10
+            + [spec(kp1_i)] * 5
+            + [spec(const2d), spec(const2d)]
+            + [spec(row_kp, (1, 1, nx))] * 2      # chi north/south rows
+            + [spec(row_kp, (1, 1, nx))]          # dcz north row
+            + [spec(row_kp1, (1, 1, nx))]         # f_n south row (slab kp+1)
+        ),
+        out_specs=spec(kp1_i),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+        scratch_shapes=[pltpu.VMEM((by, nx), dtype)] * 5,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * nz * ny * nx,
+            bytes_accessed=19 * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        chi, chi, chi,
+        f(op.ae), f(op.s_e), f(op.an), f(op.s_n),
+        f(op.cz_u), f(op.cz_d), f(op.cx_e), f(op.cx_w), f(op.cy_n), f(op.cy_s),
+        f(op.at), f(op.s_ti), f(op.s_tj), f(op.g_t), f(op.inv_v),
+        f(op.inv_de).reshape(1, ny, nx), f(op.inv_dn).reshape(1, ny, nx),
+        rows(chi_nrows), rows(chi_srows), rows(dcz_nrows), rows(fn_srows),
+    )
+
+
 #: the full input block set must fit VMEM twice (pipeline double buffering)
 _REDI_VMEM_BUDGET = 100 * 1024 * 1024
 
@@ -182,24 +348,38 @@ def redi_supported_by_pallas(op: RediOperator) -> bool:
     return 2 * 22 * ny * nx * 4 <= _REDI_VMEM_BUDGET
 
 
-def redi_apply_pallas(op: RediOperator, chi, interpret: bool | None = None):
+def _pick_redi_block(ny: int, nx: int, itemsize: int) -> int:
+    """Largest divisor of ny whose ~21-buffer double-buffered working set
+    fits half the VMEM budget."""
+    for by in sorted((d for d in range(1, ny + 1) if ny % d == 0),
+                     reverse=True):
+        if 2 * 21 * by * nx * itemsize <= _REDI_VMEM_BUDGET // 2:
+            return by
+    return 1
+
+
+def redi_apply_pallas(op: RediOperator, chi, interpret: bool | None = None,
+                      by_static: int | None = None):
     """d(chi)/dt of Redi isoneutral diffusion via the fused kernel.
 
-    Bit-compatible with `redi_apply` up to float reassociation. Falls
-    back to the jnp pipeline when the slab working set exceeds VMEM
-    (0.25-degree-scale grids; a j-blocked variant is future work) or the
-    field is 64-bit on a real TPU.
+    Bit-compatible with `redi_apply` up to float reassociation. Uses the
+    full-slab kernel when a k slab's working set fits VMEM, the j-blocked
+    kernel at 0.25-degree scale, and falls back to the jnp pipeline for
+    64-bit fields on a real TPU.
     """
     from .redi import redi_apply
 
     if interpret is None:
         interpret = _default_interpret()
     chi = jnp.asarray(chi)
-    if not redi_supported_by_pallas(op) or (
-        not interpret and chi.dtype.itemsize > 4
-    ):
+    if not interpret and chi.dtype.itemsize > 4:
         return redi_apply(op, chi)
+    if redi_supported_by_pallas(op) and by_static is None:
+        if interpret:
+            return _redi_pallas(op, chi, True)
+        with _x64_off():
+            return _redi_pallas(op, chi, False)
     if interpret:
-        return _redi_pallas(op, chi, True)
+        return _redi_pallas_blocked(op, chi, True, by_static)
     with _x64_off():
-        return _redi_pallas(op, chi, False)
+        return _redi_pallas_blocked(op, chi, False, by_static)

@@ -137,3 +137,22 @@ def test_pallas_redi_conserves_and_kills_constants(redi_op, gridmetrics,
     const = np.where(wet, 3.0, 0.0)
     t0 = np.asarray(redi_apply_pallas(redi_op, const, interpret=True))
     assert np.abs(t0[wet]).max() < 1e-15
+
+
+def test_pallas_redi_blocked_matches_jnp(redi_op, gridmetrics, indices):
+    """The j-blocked kernel (0.25-degree-scale path), forced via by_static
+    on the small test grid, reproduces the jnp apply — interior block
+    edges exercise the streamed chi/dcz/f_n halo rows."""
+    from otmb_tpu.models.redi_pallas import redi_apply_pallas
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(13)
+    chi = np.where(wet, 1.0 + rng.standard_normal(gridmetrics.shape), 0.0)
+
+    ref = np.asarray(redi_apply(redi_op, chi))
+    scale = np.abs(ref).max()
+    for by in (7, 2):  # ny == 14
+        got = np.asarray(
+            redi_apply_pallas(redi_op, chi, interpret=True, by_static=by)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12 * scale)
