@@ -162,6 +162,12 @@ def solve_shifted(
     optional per-cell diagonal field (e.g. the surface restoring mask of
     the ideal-age problem). Returns (x, residual_norm).
 
+    An inner solve that exits at `maxiter` without converging is NOT an
+    error — the only signal is the returned relative residual, which is
+    always recomputed from scratch (`||Ax - b|| / ||b||`). Callers must
+    check it against their tolerance; `solve_shifted_ir` does so and
+    warns on refinement stagnation.
+
     `apply_impl="pallas"` routes the inner operator application through
     the fused Pallas stencil kernel — ~2x faster per Krylov iteration on
     a single chip, but not partitionable by GSPMD: keep the default
@@ -339,6 +345,7 @@ def solve_shifted_ir(
 
     x = jnp.zeros_like(b_wide)
     rel = jnp.asarray(jnp.inf, wide)
+    rel_prev = float("inf")
     for _ in range(max_refinements):
         r_hat, s_safe, rel = _ir_defect(
             c_wide, x, b_wide, extra_wide, shift_wide, bnorm_safe,
@@ -346,6 +353,24 @@ def solve_shifted_ir(
         )
         if float(rel) <= tol:
             break
+        if float(rel) >= 0.9 * rel_prev:
+            # Each refinement should contract the residual by roughly
+            # inner_tol; no contraction means the inner Krylov solve is
+            # stagnating (likely exiting at maxiter far from inner_tol).
+            # Burning the remaining refinements cannot help — stop and
+            # tell the caller why the returned residual misses tol.
+            import warnings
+
+            warnings.warn(
+                f"solve_shifted_ir: refinement stagnated at relative "
+                f"residual {float(rel):.3e} (previous {rel_prev:.3e}); "
+                f"the inner {method} solve is likely exiting at "
+                f"maxiter={maxiter} without reaching inner_tol="
+                f"{inner_tol}. Raise maxiter or loosen tol.",
+                stacklevel=2,
+            )
+            break
+        rel_prev = float(rel)
         d, _ = solve_shifted(
             coeffs, r_hat.astype(narrow), topology, shift=shift,
             extra_diag=extra_diag, tol=inner_tol, method=method,

@@ -139,7 +139,7 @@ def centered_triad_derivative(chi, gridmetrics: GridMetrics, direction: str,
 def vertical_face_triad_group_distances(gridmetrics: GridMetrics,
                                         direction: str):
     """Geometric distances of the POP-style 6-point vertical-face triad
-    group, one (nx, ny, nz) array per leg, as seen from every center cell
+    group, one (nz, ny, nx) array per leg, as seen from every center cell
     (reference `verticalfacetriadgroupdistances`, triads.jl:103-112):
 
         CN  = |Z[N]  - Z[C]|    (N is k-1, above)
@@ -167,7 +167,7 @@ def vertical_face_triad_derivative_group(vals, gridmetrics: GridMetrics,
     """Triad slope from explicit per-center group values.
 
     `vals` maps the 6 group tags {"C","N","S","E","NE","SE"} to
-    (nx, ny, nz) arrays giving that member's value as seen FROM each
+    (nz, ny, nx) arrays giving that member's value as seen FROM each
     center cell. This is the array-level form of the reference's
     `localtriadderivative(::VerticalFaceTriadGroupValues)`
     (triads.jl:114-133) for fields that are not a single global array —
