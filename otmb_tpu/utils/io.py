@@ -7,9 +7,12 @@ NetCDF/Zarr, test/online.jl:19-65); here ingestion is a thin adapter:
     column-major) uses (nx, ny, nz) arrays; canonical layout here is
     (nz, ny, nx) — the same memory order, transposed indexing.
   * `gridmetrics_from_xarray` / `transports_from_xarray`: pull the
-    standard CMIP variable names out of xarray datasets. xarray/netCDF4/
-    zarr are optional dependencies — a clear error tells the user what to
-    install; everything else in the package works from plain arrays.
+    standard CMIP variable names out of xarray datasets. Both are
+    duck-typed — they accept any object exposing the xarray Dataset
+    interface (`ds[name]`, `ds.variables`, per-variable
+    `.attrs`/`.encoding`/`.squeeze()`/`.dims`/`.isel`) — so they work
+    without xarray installed; only `open_dataset` needs the real
+    library. Everything else in the package works from plain arrays.
 """
 
 from __future__ import annotations
@@ -51,7 +54,20 @@ def _require_xarray():
         ) from e
 
 
-# CMIP-standard variable/coordinate names with common fallbacks.
+def open_dataset(path_or_store, **kwargs):
+    """Open a NetCDF/Zarr dataset via xarray — the only entry point that
+    actually requires xarray (the reference's `open_dataset` usage,
+    test/online.jl:36-47)."""
+    xr = _require_xarray()
+    return xr.open_dataset(path_or_store, **kwargs)
+
+
+# CMIP-standard variable/coordinate names with common fallbacks. The
+# raw CMIP names are `vertices_longitude`/`vertices_latitude`
+# (reference test/online.jl:64-65, "no xmip so must use default dataset
+# property names"); `lon_verticies`/`lat_verticies` is the xmip-renamed
+# spelling the reference's local tests read
+# (test/LocalBuiltMatrix.jl:48-49, citing xMIP issue #369).
 _NAME_CANDIDATES = {
     "lon": ("longitude", "lon", "nav_lon"),
     "lat": ("latitude", "lat", "nav_lat"),
@@ -91,9 +107,10 @@ def gridmetrics_from_xarray(volcello_ds, areacello_ds=None, dtype=None) -> GridM
     reference's online-test ingestion (test/online.jl:49-74).
 
     `volcello_ds` must carry volcello + lon/lat/lev + vertex coordinates;
-    `areacello_ds` defaults to the same dataset.
+    `areacello_ds` defaults to the same dataset. Duck-typed: any object
+    with the xarray Dataset interface works (xarray itself is not
+    imported here).
     """
-    _require_xarray()
     area_ds = volcello_ds if areacello_ds is None else areacello_ds
 
     volcello = volcello_ds["volcello"]
@@ -120,8 +137,7 @@ def gridmetrics_from_xarray(volcello_ds, areacello_ds=None, dtype=None) -> GridM
 def transports_from_xarray(umo_ds, vmo_ds, time_index: int = 0):
     """(umo, vmo, fill_value) numpy triple from CMIP xarray datasets,
     selecting one time step (the reference takes time step 1,
-    test/online.jl:43-47)."""
-    _require_xarray()
+    test/online.jl:43-47). Duck-typed like `gridmetrics_from_xarray`."""
     umo = umo_ds["umo"]
     vmo = vmo_ds["vmo"]
     fill = umo.encoding.get("_FillValue", umo.attrs.get("_FillValue"))
