@@ -56,32 +56,42 @@ _VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _assembly_kernel(
-    # streamed slabs
-    umo_ref, vmo_ref, v3d_ref, v3dup_ref,
-    # (1, nx) side rows per k
-    advseam_ref, wetseam_ref, ahnseam_ref,
-    # (8, nx) per-k packed scalars
-    kpack_ref,
-    # resident 2D fields
-    ele_ref, elw_ref, eln_ref, els_ref,
-    khde_ref, khdw_ref, khdn_ref, khds_ref,
-    areac_ref, inva_ref, ml_ref,
-    # outputs: the 7 legs of T
-    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
-    # scratch
-    carry_scr, prevwet_scr,
-    *,
+    *refs,
     nz: int,
     ny: int,
     rho: float,
     upwind: bool,
+    rho3d: bool = False,
 ):
+    if rho3d:
+        # rho streamed as k / k-1 slabs + the folded seam row; the k+1
+        # slab rides the bottom-up sweep in a scratch (like the flux carry)
+        (umo_ref, vmo_ref, v3d_ref, v3dup_ref, rho_ref, rhoup_ref,
+         advseam_ref, wetseam_ref, ahnseam_ref, rhoseam_ref,
+         kpack_ref,
+         ele_ref, elw_ref, eln_ref, els_ref,
+         khde_ref, khdw_ref, khdn_ref, khds_ref,
+         areac_ref, inva_ref, ml_ref,
+         diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+         carry_scr, prevwet_scr, prevrho_scr) = refs
+    else:
+        (umo_ref, vmo_ref, v3d_ref, v3dup_ref,
+         advseam_ref, wetseam_ref, ahnseam_ref,
+         kpack_ref,
+         ele_ref, elw_ref, eln_ref, els_ref,
+         khde_ref, khdw_ref, khdn_ref, khds_ref,
+         areac_ref, inva_ref, ml_ref,
+         diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+         carry_scr, prevwet_scr) = refs
+
     s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
         carry_scr[...] = jnp.zeros_like(carry_scr)
         prevwet_scr[...] = jnp.zeros_like(prevwet_scr)
+        if rho3d:
+            prevrho_scr[...] = jnp.zeros_like(prevrho_scr)
 
     @pl.when(s > 0)
     def _():
@@ -134,8 +144,6 @@ def _assembly_kernel(
         not_surf = jnp.where(k > 0, one, zero)
 
         # --- advection legs (matrixbuilding.jl:226-299) ------------------
-        inv_m = inv_v * dtype.type(1.0 / rho)
-
         in_e, in_w = neg(phi_e), pos(phi_w)
         in_n, in_s = neg(phi_n), pos(phi_s)
         in_b = pos(phi_b)
@@ -144,10 +152,40 @@ def _assembly_kernel(
         out_n = jnp.concatenate(
             [pos(phi_n)[: ny - 1, :], advseam_ref[0]], axis=0
         )
-        out_sum = (
-            pos(phi_e) + neg(phi_w) + neg(phi_s) + out_n
-            + neg(phi_b) + not_surf * pos(phi_t)
-        )
+
+        if rho3d:
+            # Per-face masses m = mean(rho_c, rho_nb) * v
+            # (matrixbuilding.jl:193-195, 221-225): rho arrives pre-cleaned
+            # (finite everywhere), the seam row is the fold partner, and
+            # masked faces carry exactly-zero fluxes so boundary pair
+            # values are inert.
+            half = dtype.type(0.5)
+            rho_c = rho_ref[0]
+            pair_e = (rho_c + pltpu.roll(rho_c, nx - 1, 1)) * half
+            pair_w = (rho_c + pltpu.roll(rho_c, 1, 1)) * half
+            rho_n = jnp.concatenate([rho_c[1:, :], rhoseam_ref[0]], axis=0)
+            pair_n = (rho_c + rho_n) * half
+            rho_s = jnp.concatenate([rho_c[:1, :], rho_c[: ny - 1, :]], axis=0)
+            pair_s = (rho_c + rho_s) * half
+            pair_t = (rho_c + rhoup_ref[0]) * half
+            pair_b = (rho_c + prevrho_scr[...]) * half
+            prevrho_scr[...] = rho_c
+            im_e, im_w = inv_v / pair_e, inv_v / pair_w
+            im_n, im_s = inv_v / pair_n, inv_v / pair_s
+            im_t, im_b = inv_v / pair_t, inv_v / pair_b
+            adv_diag = (
+                pos(phi_e) * im_e + neg(phi_w) * im_w + neg(phi_s) * im_s
+                + out_n * im_n + neg(phi_b) * im_b
+                + not_surf * pos(phi_t) * im_t
+            )
+        else:
+            inv_m = inv_v * dtype.type(1.0 / rho)
+            im_e = im_w = im_n = im_s = im_t = im_b = inv_m
+            out_sum = (
+                pos(phi_e) + neg(phi_w) + neg(phi_s) + out_n
+                + neg(phi_b) + not_surf * pos(phi_t)
+            )
+            adv_diag = out_sum * inv_m
 
         # --- horizontal diffusion (matrixbuilding.jl:337-418) ------------
         # tval_d = kappa_h * min(a_own, a_nb) / (dist * V); kappa_h/dist is
@@ -188,13 +226,28 @@ def _assembly_kernel(
         prevwet_scr[...] = wetf
 
         # --- total legs ---------------------------------------------------
-        diag_ref[0] = out_sum * inv_m + tv_e + tv_w + tv_n + tv_s + tot_up + tot_dn
-        e_ref[0] = -(in_e * inv_m) - tv_e
-        w_ref[0] = -(in_w * inv_m) - tv_w
-        n_ref[0] = -(in_n * inv_m) - tv_n
-        s_ref[0] = -(in_s * inv_m) - tv_s
-        t_ref[0] = -(in_t * inv_m) - tot_up
-        b_ref[0] = -(in_b * inv_m) - tot_dn
+        diag_ref[0] = adv_diag + tv_e + tv_w + tv_n + tv_s + tot_up + tot_dn
+        e_ref[0] = -(in_e * im_e) - tv_e
+        w_ref[0] = -(in_w * im_w) - tv_w
+        n_ref[0] = -(in_n * im_n) - tv_n
+        s_ref[0] = -(in_s * im_s) - tv_s
+        t_ref[0] = -(in_t * im_t) - tot_up
+        b_ref[0] = -(in_b * im_b) - tot_dn
+
+
+def _prep_rho(rho, dtype, topology: GridTopology):
+    """Clean a 3D density field for in-kernel streaming: finite
+    everywhere (land NaN -> 1; inert because masked faces carry zero
+    fluxes), plus the folded top-row seam partner (tripolar) for the
+    north pair mean (gridtopology.jl:94-95)."""
+    nz, ny, nx = topology.shape3d
+    rho = jnp.asarray(rho, dtype)
+    rho_c = jnp.where(rho == rho, rho, dtype.type(1.0))
+    if topology.is_tripolar:
+        seam = rho_c[:, -1, ::-1].reshape(nz, 1, nx)
+    else:
+        seam = jnp.ones((nz, 1, nx), dtype)  # bipolar top row: no-flux
+    return rho_c, seam
 
 
 def _prep_streams(
@@ -294,10 +347,11 @@ def _assemble_pallas(
     umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
     topology: GridTopology,
     rho: float, kappa_h: float, kappa_vml: float, kappa_vdeep: float,
-    upwind: bool, interpret: bool,
+    upwind: bool, interpret: bool, rho3d_arr=None,
 ):
     nz, ny, nx = topology.shape3d
     dtype = jnp.asarray(v3dw).dtype
+    rho3d = rho3d_arr is not None
 
     umo, vmo, v3dw, adv_seam, wet_seam, ahn_seam, kpack, residents = \
         _prep_streams(
@@ -318,68 +372,94 @@ def _assemble_pallas(
 
     kernel = functools.partial(
         _assembly_kernel,
-        nz=nz, ny=ny, rho=float(rho), upwind=upwind,
+        nz=nz, ny=ny, rho=float(rho), upwind=upwind, rho3d=rho3d,
     )
 
+    scratch = [
+        pltpu.VMEM((ny, nx), dtype),
+        pltpu.VMEM((ny, nx), dtype),
+    ]
+    if rho3d:
+        rho_c, rho_seam = _prep_rho(rho3d_arr, dtype, topology)
+        rho_inputs = (rho_c, rho_c)
+        rho_specs = [spec(slab), spec(slab_up)]
+        rho_seam_inputs = (rho_seam,)
+        rho_seam_specs = [spec(slab, (1, 1, nx))]
+        scratch.append(pltpu.VMEM((ny, nx), dtype))
+    else:
+        rho_inputs = rho_seam_inputs = ()
+        rho_specs = rho_seam_specs = []
+
+    nstreams = 13 if rho3d else 11
     out = pl.pallas_call(
         kernel,
         grid=(nz + 1,),
         in_specs=[spec(slab)] * 3
         + [spec(slab_up)]
+        + rho_specs
         + [spec(slab, (1, 1, nx))] * 3
+        + rho_seam_specs
         + [spec(slab, (1, 8, nx))]
         + [spec2d] * 11,
         out_specs=[spec(slab)] * 7,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dtype)] * 7,
-        scratch_shapes=[
-            pltpu.VMEM((ny, nx), dtype),
-            pltpu.VMEM((ny, nx), dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=80 * nz * ny * nx,
-            bytes_accessed=11 * nz * ny * nx * dtype.itemsize,
+            flops=(110 if rho3d else 80) * nz * ny * nx,
+            bytes_accessed=nstreams * nz * ny * nx * dtype.itemsize,
             transcendentals=0,
         ),
     )(
         umo, vmo, v3dw, v3dw,
-        adv_seam, wet_seam, ahn_seam, kpack,
+        *rho_inputs,
+        adv_seam, wet_seam, ahn_seam,
+        *rho_seam_inputs,
+        kpack,
         *residents,
     )
     return StencilCoeffs(*out)
 
 
 def _assembly_kernel_blocked(
-    # streamed slabs (1, by, nx)
-    umo_ref, vmo_ref, v3d_ref, v3dup_ref,
-    # (1, 1, nx) rows
-    advseam_ref, wetn_ref, psn_ref, phis_ref, wets_ref, pns_ref,
-    # (1, 8, nx) per-k packed scalars
-    kpack_ref,
-    # resident 2D blocks (by, nx)
-    ele_ref, elw_ref, eln_ref, els_ref,
-    khde_ref, khdw_ref, khdn_ref, khds_ref,
-    areac_ref, inva_ref, ml_ref,
-    # outputs
-    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
-    # scratch
-    carry_scr, prevwet_scr,
-    *,
+    *refs,
     nz: int,
     by: int,
     nb: int,
     rho: float,
     upwind: bool,
+    rho3d: bool = False,
 ):
     """j-blocked variant for grids whose full slab set exceeds VMEM
     (0.25-degree scale). Grid is (nb, nz+1): per j-block the k levels
     stream bottom-up with the suffix-sum carry; j-halo rows (masked
-    north flux, wet factor, directed face areas of the neighbor rows)
-    arrive as tiny side streams, with the tripolar seam rows baked into
-    the last block's entries. Same math as `_assembly_kernel`."""
+    north flux, wet factor, directed face areas of the neighbor rows,
+    and — in 3D-rho mode — the neighbor rows' densities) arrive as tiny
+    side streams, with the tripolar seam rows baked into the last
+    block's entries. Same math as `_assembly_kernel`."""
+    if rho3d:
+        (umo_ref, vmo_ref, v3d_ref, v3dup_ref, rho_ref, rhoup_ref,
+         advseam_ref, wetn_ref, psn_ref, phis_ref, wets_ref, pns_ref,
+         rhon_ref, rhos_ref,
+         kpack_ref,
+         ele_ref, elw_ref, eln_ref, els_ref,
+         khde_ref, khdw_ref, khdn_ref, khds_ref,
+         areac_ref, inva_ref, ml_ref,
+         diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+         carry_scr, prevwet_scr, prevrho_scr) = refs
+    else:
+        (umo_ref, vmo_ref, v3d_ref, v3dup_ref,
+         advseam_ref, wetn_ref, psn_ref, phis_ref, wets_ref, pns_ref,
+         kpack_ref,
+         ele_ref, elw_ref, eln_ref, els_ref,
+         khde_ref, khdw_ref, khdn_ref, khds_ref,
+         areac_ref, inva_ref, ml_ref,
+         diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+         carry_scr, prevwet_scr) = refs
+
     jb = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -387,6 +467,8 @@ def _assembly_kernel_blocked(
     def _():
         carry_scr[...] = jnp.zeros_like(carry_scr)
         prevwet_scr[...] = jnp.zeros_like(prevwet_scr)
+        if rho3d:
+            prevrho_scr[...] = jnp.zeros_like(prevrho_scr)
 
     @pl.when(s > 0)
     def _():
@@ -428,8 +510,6 @@ def _assembly_kernel_blocked(
 
         not_surf = jnp.where(k > 0, one, zero)
 
-        inv_m = inv_v * dtype.type(1.0 / rho)
-
         in_e, in_w = neg(phi_e), pos(phi_w)
         in_n, in_s = neg(phi_n), pos(phi_s)
         in_b = pos(phi_b)
@@ -438,10 +518,35 @@ def _assembly_kernel_blocked(
         on = pos(phi_n)
         last_row = jnp.where(jb == nb - 1, advseam_ref[0], on[by - 1 :, :])
         out_n = jnp.concatenate([on[: by - 1, :], last_row], axis=0)
-        out_sum = (
-            pos(phi_e) + neg(phi_w) + neg(phi_s) + out_n
-            + neg(phi_b) + not_surf * pos(phi_t)
-        )
+
+        if rho3d:
+            half = dtype.type(0.5)
+            rho_c = rho_ref[0]
+            pair_e = (rho_c + pltpu.roll(rho_c, nx - 1, 1)) * half
+            pair_w = (rho_c + pltpu.roll(rho_c, 1, 1)) * half
+            rho_n = jnp.concatenate([rho_c[1:, :], rhon_ref[0]], axis=0)
+            pair_n = (rho_c + rho_n) * half
+            rho_s = jnp.concatenate([rhos_ref[0], rho_c[: by - 1, :]], axis=0)
+            pair_s = (rho_c + rho_s) * half
+            pair_t = (rho_c + rhoup_ref[0]) * half
+            pair_b = (rho_c + prevrho_scr[...]) * half
+            prevrho_scr[...] = rho_c
+            im_e, im_w = inv_v / pair_e, inv_v / pair_w
+            im_n, im_s = inv_v / pair_n, inv_v / pair_s
+            im_t, im_b = inv_v / pair_t, inv_v / pair_b
+            adv_diag = (
+                pos(phi_e) * im_e + neg(phi_w) * im_w + neg(phi_s) * im_s
+                + out_n * im_n + neg(phi_b) * im_b
+                + not_surf * pos(phi_t) * im_t
+            )
+        else:
+            inv_m = inv_v * dtype.type(1.0 / rho)
+            im_e = im_w = im_n = im_s = im_t = im_b = inv_m
+            out_sum = (
+                pos(phi_e) + neg(phi_w) + neg(phi_s) + out_n
+                + neg(phi_b) + not_surf * pos(phi_t)
+            )
+            adv_diag = out_sum * inv_m
 
         thk = vclean * inva_ref[...]
         p_e = thk * ele_ref[...]
@@ -475,23 +580,25 @@ def _assembly_kernel_blocked(
         tot_dn = a_over_v * (ad_deep + ad_ml * om_dn) * (wetf * prev_wet)
         prevwet_scr[...] = wetf
 
-        diag_ref[0] = out_sum * inv_m + tv_e + tv_w + tv_n + tv_s + tot_up + tot_dn
-        e_ref[0] = -(in_e * inv_m) - tv_e
-        w_ref[0] = -(in_w * inv_m) - tv_w
-        n_ref[0] = -(in_n * inv_m) - tv_n
-        s_ref[0] = -(in_s * inv_m) - tv_s
-        t_ref[0] = -(in_t * inv_m) - tot_up
-        b_ref[0] = -(in_b * inv_m) - tot_dn
+        diag_ref[0] = adv_diag + tv_e + tv_w + tv_n + tv_s + tot_up + tot_dn
+        e_ref[0] = -(in_e * im_e) - tv_e
+        w_ref[0] = -(in_w * im_w) - tv_w
+        n_ref[0] = -(in_n * im_n) - tv_n
+        s_ref[0] = -(in_s * im_s) - tv_s
+        t_ref[0] = -(in_t * im_t) - tot_up
+        b_ref[0] = -(in_b * im_b) - tot_dn
 
 
-def _pick_j_block(ny: int, nx: int, itemsize: int, budget_bytes: int) -> int:
+def _pick_j_block(ny: int, nx: int, itemsize: int, budget_bytes: int,
+                  slabs: int = 60) -> int:
     """Largest divisor of ny fitting the VMEM budget. Mosaic
     double-buffers every changing block — including the per-jb resident
     2D fields — so the working set is ~(4 in + 7 out + 11 resident) x 2
-    + 2 scratch = 46 slabs; 60 adds headroom for pipeline overhead
-    (by=360 at 0.25-degree scale measured 124 MB on chip)."""
+    + 2 scratch = 46 slabs; the default 60 adds headroom for pipeline
+    overhead (by=360 at 0.25-degree scale measured 124 MB on chip).
+    3D-rho mode streams 2 more slabs + 1 scratch -> 66."""
     for by in sorted((d for d in range(1, ny + 1) if ny % d == 0), reverse=True):
-        if 60 * by * nx * itemsize <= budget_bytes:
+        if slabs * by * nx * itemsize <= budget_bytes:
             return by
     return 1
 
@@ -505,13 +612,15 @@ def _assemble_pallas_blocked(
     umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
     topology: GridTopology,
     rho: float, kappa_h: float, kappa_vml: float, kappa_vdeep: float,
-    upwind: bool, interpret: bool, by_static=None,
+    upwind: bool, interpret: bool, by_static=None, rho3d_arr=None,
 ):
     nz, ny, nx = topology.shape3d
     dtype = jnp.asarray(v3dw).dtype
+    rho3d = rho3d_arr is not None
 
     by = by_static if by_static else _pick_j_block(
-        ny, nx, dtype.itemsize, budget_bytes=80 * 1024 * 1024
+        ny, nx, dtype.itemsize, budget_bytes=80 * 1024 * 1024,
+        slabs=66 if rho3d else 60,
     )
     if ny % by:
         raise ValueError(f"j-block size {by} does not divide ny={ny}")
@@ -563,6 +672,13 @@ def _assemble_pallas_blocked(
 
     as_rows = lambda x: x.reshape(nz * nb, 1, nx)
 
+    if rho3d:
+        rho_c, rho_seam = _prep_rho(rho3d_arr, dtype, topology)
+        # North pair partner rows; the last block pairs across the fold.
+        rhon_rows = rho_c[:, idx_n, :].at[:, nb - 1, :].set(rho_seam[:, 0, :])
+        # South pair partner rows; block 0's row is inert (phi_s = 0).
+        rhos_rows = rho_c[:, idx_s, :]
+
     k_of = lambda jb, s: jnp.minimum(nz - s, nz - 1)
     blk = lambda jb, s: (k_of(jb, s), jb, 0)
     blk_up = lambda jb, s: (jnp.clip(nz - s - 1, 0, nz - 1), jb, 0)
@@ -577,38 +693,54 @@ def _assemble_pallas_blocked(
 
     kernel = functools.partial(
         _assembly_kernel_blocked,
-        nz=nz, by=by, nb=nb, rho=float(rho), upwind=upwind,
+        nz=nz, by=by, nb=nb, rho=float(rho), upwind=upwind, rho3d=rho3d,
     )
 
+    scratch = [
+        pltpu.VMEM((by, nx), dtype),
+        pltpu.VMEM((by, nx), dtype),
+    ]
+    if rho3d:
+        rho_inputs = (rho_c, rho_c)
+        rho_specs = [spec(blk), spec(blk_up)]
+        rho_row_inputs = (as_rows(rhon_rows), as_rows(rhos_rows))
+        rho_row_specs = [spec(row_nb, (1, 1, nx))] * 2
+        scratch.append(pltpu.VMEM((by, nx), dtype))
+    else:
+        rho_inputs = rho_row_inputs = ()
+        rho_specs = rho_row_specs = []
+
+    nstreams = 13 if rho3d else 11
     out = pl.pallas_call(
         kernel,
         grid=(nb, nz + 1),
         in_specs=[spec(blk)] * 3
         + [spec(blk_up)]
+        + rho_specs
         + [spec(row_k, (1, 1, nx))]
         + [spec(row_nb, (1, 1, nx))] * 5
+        + rho_row_specs
         + [spec(row_k, (1, 8, nx))]
         + [spec2d] * 11,
         out_specs=[spec(blk)] * 7,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dtype)] * 7,
-        scratch_shapes=[
-            pltpu.VMEM((by, nx), dtype),
-            pltpu.VMEM((by, nx), dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=80 * nz * ny * nx,
-            bytes_accessed=11 * nz * ny * nx * dtype.itemsize,
+            flops=(110 if rho3d else 80) * nz * ny * nx,
+            bytes_accessed=nstreams * nz * ny * nx * dtype.itemsize,
             transcendentals=0,
         ),
     )(
         umo, vmo, v3dw, v3dw,
+        *rho_inputs,
         adv_seam,
         as_rows(wetn_rows), as_rows(psn_rows),
         as_rows(phis_rows), as_rows(wets_rows), as_rows(pns_rows),
+        *rho_row_inputs,
         kpack,
         *residents,
     )
@@ -635,22 +767,28 @@ def assemble_T_pallas(
 ) -> StencilCoeffs:
     """Total operator T as stencil coefficients, via the fused assembly
     kernel. Physics-identical to `assemble_transport(...).T`
-    (models/transport.py) for scalar rho.
+    (models/transport.py) for both scalar and 3D rho (the reference's
+    main density mode, matrixbuilding.jl:221-225: per-face masses from
+    pair-mean densities).
 
     `wet3d=None` means "the NaN pattern of v3d" (the `makeindices`
     convention); an explicit mask is folded into the volume field first.
     Dispatches to the full-slab kernel when a (ny, nx) slab set fits
     VMEM, to the j-blocked kernel otherwise (0.25-degree scale), and
-    falls back to the XLA pass pipeline for 3D/traced physics scalars or
+    falls back to the XLA pass pipeline for traced physics scalars or
     unknown topology. `by_static` forces a j-block size (testing).
     """
     topo = gridmetrics.topology
     nz, ny, nx = topo.shape3d
     itemsize = gridmetrics.v3d.dtype.itemsize
-    working_set = (4 + 7) * 2 * ny * nx * itemsize + 10 * ny * nx * itemsize
+    rho3d_arr = None
+    if jnp.ndim(rho) == 3:
+        rho3d_arr, rho = rho, 0.0  # static rho unused in 3D mode
+    n_slabs = 6 + 7 if rho3d_arr is not None else 4 + 7
+    working_set = n_slabs * 2 * ny * nx * itemsize + 10 * ny * nx * itemsize
 
     def _static_scalar(x):
-        """float(x) if x is a concrete scalar, else None (traced/3D)."""
+        """float(x) if x is a concrete scalar, else None (traced)."""
         if jnp.shape(x) != ():
             return None
         try:
@@ -667,7 +805,8 @@ def assemble_T_pallas(
         wet = wet3d if wet3d is not None else (gridmetrics.v3d == gridmetrics.v3d)
         return assemble_transport(
             umo, vmo, mlotst, gridmetrics, wet,
-            rho=rho, kappa_h=kappa_h, kappa_vml=kappa_vml,
+            rho=rho3d_arr if rho3d_arr is not None else rho,
+            kappa_h=kappa_h, kappa_vml=kappa_vml,
             kappa_vdeep=kappa_vdeep, upwind=upwind,
         ).T
 
@@ -687,5 +826,5 @@ def assemble_T_pallas(
         bool(upwind), bool(interpret),
     )
     if by_static is not None or working_set > _VMEM_BUDGET:
-        return _assemble_pallas_blocked(*common, by_static)
-    return _assemble_pallas(*common)
+        return _assemble_pallas_blocked(*common, by_static, rho3d_arr)
+    return _assemble_pallas(*common, rho3d_arr)

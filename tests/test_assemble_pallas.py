@@ -100,10 +100,62 @@ def test_fused_assembly_blocked(dataset, gridmetrics, indices, upwind, by):
         )
 
 
-def test_fused_assembly_3d_rho_falls_back(dataset, gridmetrics, indices):
-    """3D density routes through the XLA pipeline and still agrees with it."""
-    rho3d = jnp.where(indices.wet3d, 1030.0 + 0.01 * gridmetrics.z3d, jnp.nan)
+def _rho3d(gridmetrics, indices):
+    """A laterally- and vertically-varying density, NaN on land (the
+    reference's main rho mode, matrixbuilding.jl:221-225)."""
+    return jnp.where(
+        indices.wet3d,
+        1030.0 + 0.01 * gridmetrics.z3d
+        + 0.5 * jnp.cos(2 * jnp.deg2rad(gridmetrics.lon))
+        + 0.3 * jnp.sin(3 * jnp.deg2rad(gridmetrics.lat)),
+        jnp.nan,
+    )
+
+
+def _no_fallback(monkeypatch):
+    """Make any fallback to the XLA pipeline a test failure."""
+    import otmb_tpu.models.transport as mt
+
+    def _fail(*a, **k):
+        pytest.fail("assemble_T_pallas fell back to the XLA pipeline")
+
+    monkeypatch.setattr(mt, "assemble_transport", _fail)
+
+
+@pytest.mark.parametrize("upwind", [True, False], ids=["upwind", "centered"])
+def test_fused_assembly_3d_rho_kernel(dataset, gridmetrics, indices, upwind,
+                                      monkeypatch):
+    """3D density runs through the kernel path (per-face pair-mean
+    masses streamed in-kernel), exact against the oracle-tested
+    pipeline."""
+    rho3d = _rho3d(gridmetrics, indices)
+    ref = _reference_T(dataset, gridmetrics, indices, upwind, rho=rho3d)
+    _no_fallback(monkeypatch)
+    out = assemble_T_pallas(
+        jnp.nan_to_num(jnp.asarray(dataset.umo)),
+        jnp.nan_to_num(jnp.asarray(dataset.vmo)),
+        dataset.mlotst,
+        gridmetrics,
+        wet3d=indices.wet3d,
+        rho=rho3d,
+        upwind=upwind,
+        interpret=True,
+    )
+    for leg in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(out[leg]), np.asarray(ref[leg]),
+            rtol=1e-12, atol=1e-18, err_msg=leg,
+        )
+
+
+@pytest.mark.parametrize("by", [2, 7])
+def test_fused_assembly_3d_rho_blocked(dataset, gridmetrics, indices, by,
+                                       monkeypatch):
+    """3D density through the j-blocked kernel (0.25-degree VMEM regime),
+    exercising the rho halo rows at block boundaries and the seam."""
+    rho3d = _rho3d(gridmetrics, indices)
     ref = _reference_T(dataset, gridmetrics, indices, True, rho=rho3d)
+    _no_fallback(monkeypatch)
     out = assemble_T_pallas(
         jnp.nan_to_num(jnp.asarray(dataset.umo)),
         jnp.nan_to_num(jnp.asarray(dataset.vmo)),
@@ -112,7 +164,29 @@ def test_fused_assembly_3d_rho_falls_back(dataset, gridmetrics, indices):
         wet3d=indices.wet3d,
         rho=rho3d,
         interpret=True,
+        by_static=by,
     )
+    for leg in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(out[leg]), np.asarray(ref[leg]),
+            rtol=1e-12, atol=1e-18, err_msg=leg,
+        )
+
+
+def test_fused_assembly_traced_kappa_falls_back(dataset, gridmetrics, indices):
+    """Traced physics scalars still route through the XLA pipeline and
+    agree with it (jit-compatible assembly with swept parameters)."""
+    import jax
+
+    umo = jnp.nan_to_num(jnp.asarray(dataset.umo))
+    vmo = jnp.nan_to_num(jnp.asarray(dataset.vmo))
+    ref = _reference_T(dataset, gridmetrics, indices, True, kappa_h=750.0)
+    out = jax.jit(
+        lambda kh: assemble_T_pallas(
+            umo, vmo, dataset.mlotst, gridmetrics, wet3d=indices.wet3d,
+            kappa_h=kh, interpret=True,
+        )
+    )(750.0)
     for leg in ref._fields:
         np.testing.assert_allclose(
             np.asarray(out[leg]), np.asarray(ref[leg]), rtol=1e-12, err_msg=leg
