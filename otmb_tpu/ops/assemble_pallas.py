@@ -295,6 +295,23 @@ def _prep_streams(
     wet_seam = wet_seam.reshape(nz, 1, nx)
     ahn_seam = ahn_seam.reshape(nz, 1, nx)
 
+    kpack, residents = _prep_kpack_residents(
+        ml, area2d, edge_length, distance_to_neighbour, zt, dtype,
+        kappa_h, kappa_vml, kappa_vdeep, nz, nx,
+    )
+    return umo, vmo, v3dw, adv_seam, wet_seam, ahn_seam, kpack, residents
+
+
+def _prep_kpack_residents(
+    ml, area2d, edge_length, distance_to_neighbour, zt, dtype,
+    kappa_h: float, kappa_vml: float, kappa_vdeep: float, nz: int, nx: int,
+):
+    """Per-level packed scalars and finite resident 2D fields — purely
+    elementwise (no seam/reversal), so they shard trivially over a device
+    mesh (reused by parallel/assemble_halo.py)."""
+    f = lambda x: jnp.asarray(x, dtype)
+    area2d = f(area2d)
+
     # Per-level packed scalars: max-z of the k/k-1 and k/k+1 pairs (for the
     # mixed-layer mask: zt[k]<ml AND zt[k']<ml <=> max<ml) and kappa/dz
     # rows, zeroed at the boundaries where no vertical neighbor exists.
@@ -333,9 +350,9 @@ def _prep_streams(
         khd("east"), khd("west"), khd("north"), khd("south"),
         jnp.nan_to_num(area2d),
         jnp.where(jnp.isfinite(area2d), 1.0 / area2d, 0.0).astype(dtype),
-        ml,
+        f(ml),
     )
-    return umo, vmo, v3dw, adv_seam, wet_seam, ahn_seam, kpack, residents
+    return kpack, residents
 
 
 @functools.partial(
