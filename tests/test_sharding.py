@@ -330,3 +330,37 @@ def test_halo_fused_assembly_matches_single_device(mesh, dataset, gridmetrics,
     )
     ref = np.asarray(apply_stencil(ref_c, chi, topo))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-14)
+
+
+def test_halo_redi_pallas_matches_single_device(mesh, dataset, gridmetrics,
+                                                indices):
+    """Sharded Redi hot path (3 boundary-line exchange rounds + shard-local
+    fused kernel) exactly equals the single-chip fused Redi kernel and
+    agrees with the jnp operator."""
+    from otmb_tpu.models.redi import build_redi_operator, redi_apply
+    from otmb_tpu.models.redi_pallas import redi_apply_pallas
+    from otmb_tpu.parallel.redi_halo import redi_apply_halo_pallas
+
+    wet = np.asarray(indices.wet3d)
+    z = np.asarray(gridmetrics.z3d)
+    lon = np.asarray(gridmetrics.lon)
+    rho = np.where(
+        wet, 1025.0 + 0.02 * z + 2e-4 * z * np.cos(2 * np.deg2rad(lon)), np.nan
+    )
+    op = build_redi_operator(rho, gridmetrics, indices.wet3d)
+    rng = np.random.default_rng(5)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+
+    ref_kernel = np.asarray(redi_apply_pallas(op, chi, interpret=True))
+
+    op_sh = shard_pytree(mesh, op)
+    chi_sh = jax.device_put(chi, sharding_for(mesh, chi))
+    out = redi_apply_halo_pallas(op_sh, chi_sh, mesh, interpret=True)
+    assert len(out.sharding.device_set) == 8
+    # boundary fluxes recomputed in the shard_map region compile separately
+    # from the kernel, so XLA FMA fusion can differ by ~1 ulp at shard edges
+    np.testing.assert_allclose(np.asarray(out), ref_kernel, rtol=1e-13,
+                               atol=1e-20)
+
+    ref_jnp = np.asarray(redi_apply(op, chi))
+    np.testing.assert_allclose(np.asarray(out), ref_jnp, rtol=1e-12, atol=1e-13)
