@@ -136,3 +136,114 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def trace_kernel_times(thunks, logdir: str | None = None) -> dict:
+    """On-device op durations from a jax.profiler trace.
+
+    Runs each thunk (blocking on its result) under a profiler trace, then
+    parses the emitted Chrome-trace JSON and returns
+    ``{op_name: (count, avg_us)}`` for every XLA op on a device track.
+    This is the relay-proof source of truth for kernel timing: host
+    clocks through a TPU relay include dispatch/fetch RTT and can lie in
+    both directions, while these durations come from the device's own
+    profiler (used to settle the round-1 bench numbers; the in-loop
+    Euler step is genuinely faster than its standalone HBM roofline
+    because XLA pins the tracer carry and part of the coefficient
+    streams in VMEM across loop iterations)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    logdir = logdir or tempfile.mkdtemp(prefix="otmb_trace_")
+    jax.profiler.start_trace(logdir)
+    try:
+        for thunk in thunks:
+            jax.block_until_ready(thunk())
+    finally:
+        jax.profiler.stop_trace()
+
+    paths = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                  recursive=True)
+    )
+    if not paths:
+        raise RuntimeError(f"no trace.json.gz produced under {logdir}")
+    events = json.load(gzip.open(paths[-1], "rt"))["traceEvents"]
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    agg = collections.defaultdict(lambda: [0, 0.0])
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and "dur" in e
+            and str(pid_names.get(e["pid"], "")).startswith("/device")
+        ):
+            a = agg[e["name"]]
+            a[0] += 1
+            a[1] += e["dur"]
+    return {name: (n, tot / n) for name, (n, tot) in agg.items()}
+
+
+def dma_peak_probe(nstreams: int = 7, mbytes: int = 200):
+    """A known-traffic Pallas kernel for measuring the device's sustained
+    many-stream HBM DMA bandwidth (the defensible roofline denominator:
+    a 2-stream copy underestimates what a multi-stream stencil kernel can
+    sustain — measured 630 vs 730 GB/s on the v5e-class bench chip).
+
+    Returns (thunk, bytes_moved): running the thunk executes one kernel
+    call whose HBM traffic is exactly `bytes_moved` (nstreams reads + 1
+    write, tile-aligned shapes so nominal == physical)."""
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = 512, 512  # 1 MB f32 blocks, tile-aligned
+    nzb = max(1, mbytes * 1024 * 1024 // (ny * nx * 4))
+
+    def kern(*refs):
+        ins, o_ref = refs[:-1], refs[-1]
+        acc = ins[0][0] * np.float32(0.999)
+        for r in ins[1:]:
+            acc = acc + r[0]
+        o_ref[0] = acc
+
+    spec = pl.BlockSpec((1, ny, nx), lambda s: (s, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(*xs):
+        return pl.pallas_call(
+            kern, grid=(nzb,), in_specs=[spec] * nstreams, out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((nzb, ny, nx), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(*xs)
+
+    key = jax.random.PRNGKey(0)
+    arrs = [
+        jax.random.normal(jax.random.fold_in(key, i), (nzb, ny, nx),
+                          jnp.float32)
+        for i in range(nstreams)
+    ]
+    jax.block_until_ready(arrs)
+    bytes_moved = (nstreams + 1) * nzb * ny * nx * 4
+    return (lambda: run(*arrs)), bytes_moved
+
+
+def kernel_time_us(times: dict, match: str) -> float | None:
+    """Average on-device duration (us) of the op whose name contains
+    `match`, from a `trace_kernel_times` result; None if absent."""
+    hits = [(n, avg) for name, (n, avg) in times.items() if match in name]
+    if not hits:
+        return None
+    # weight by count if several variants matched
+    tot_n = sum(n for n, _ in hits)
+    return sum(n * avg for n, avg in hits) / tot_n
