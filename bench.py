@@ -236,7 +236,17 @@ def main():
             + [probe, probe]
         )
         t_alone = kernel_time_us(times, "_apply_pallas")
-        t_probe = kernel_time_us(times, "run")
+        # Match the probe by its unique kernel name (a generic substring
+        # like "run" can alias unrelated device ops across XLA versions).
+        t_probe = kernel_time_us(times, "dma_peak_probe")
+        if t_probe is None:
+            print(
+                "# WARNING: DMA-peak probe op not found in the trace "
+                "(expected a device op containing 'dma_peak_probe'); "
+                "falling back to the 2-stream streaming measurement, "
+                "which understates the many-stream peak",
+                file=sys.stderr,
+            )
         peak_gbps = (
             probe_bytes / (t_probe * 1e-6) / 1e9 if t_probe else hbm_gbps
         )
@@ -309,8 +319,9 @@ def main():
             file=sys.stderr,
         )
 
-    # Assembly: the fused Pallas assembly kernel (falls back to the XLA
-    # pipeline at 0.25-degree scale, where the slab set exceeds VMEM).
+    # Assembly: the fused Pallas assembly kernel (assemble_T_pallas
+    # dispatches to the full-slab kernel at 1 degree and to the j-blocked
+    # kernel at 0.25-degree scale, where the slab set exceeds VMEM).
     # Scalar feedback goes through mlotst (it genuinely changes the
     # mixed-layer operator); the Pallas call is opaque to XLA, so all 7
     # output legs are written to HBM every iteration regardless — feedback
@@ -378,6 +389,82 @@ def main():
                 qchi, qcoeffs, 25,
             )
 
+            # Trace-verified standalone 0.25-degree apply (f32 and bf16
+            # coefficient streams) against the measured DMA peak — the
+            # roofline number at the scale-out grid size.
+            try:
+                from otmb_tpu.utils.profiling import (
+                    dma_peak_probe as _probe_fn,
+                    kernel_time_us as _ktu,
+                    trace_kernel_times as _tkt,
+                )
+
+                qprobe, qprobe_bytes = _probe_fn()
+                jax.block_until_ready(qprobe())
+                qfresh = [
+                    (qchi + jnp.float32(1e-3 * (i + 1)))
+                    * jnp.float32(1.0 + 1e-4 * i)
+                    for i in range(3)
+                ]
+                jax.block_until_ready(qfresh)
+                qcoeffs_bf16 = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), qcoeffs
+                )
+                jax.block_until_ready(qcoeffs_bf16)
+                qapply32 = jax.jit(
+                    lambda cf, c: apply_stencil_pallas(cf, c, qtopo)
+                )
+                qapply16 = jax.jit(
+                    lambda cf, c: apply_stencil_pallas(cf, c, qtopo)
+                )
+                jax.block_until_ready(qapply32(qcoeffs, qfresh[0]))
+                jax.block_until_ready(qapply16(qcoeffs_bf16, qfresh[1]))
+                qtimes32 = _tkt(
+                    [lambda c=c: qapply32(qcoeffs, c) for c in qfresh]
+                    + [qprobe, qprobe]
+                )
+                qtimes16 = _tkt(
+                    [lambda c=c: qapply16(qcoeffs_bf16, c) for c in qfresh]
+                )
+                qt32 = _ktu(qtimes32, "_apply_pallas")
+                qt16 = _ktu(qtimes16, "_apply_pallas")
+                qtp = _ktu(qtimes32, "dma_peak_probe")
+                qpeak = (
+                    qprobe_bytes / (qtp * 1e-6) / 1e9 if qtp else hbm_gbps
+                )
+
+                def qpad(sub, lane):
+                    return (qnz * ((qny + sub - 1) // sub * sub)
+                            * ((qnx + lane - 1) // lane * lane))
+
+                if qt32 is not None:
+                    # 7 coef + 1 chi read + 1 write, all f32 (8,128) tiles
+                    qphys32 = 9 * qpad(8, 128) * 4 / (qt32 * 1e-6) / 1e9
+                    print(
+                        f"# 0.25-degree pallas apply standalone "
+                        f"(trace-verified): f32 {qt32:.0f} us = "
+                        f"{qphys32:.0f} GB/s physical "
+                        f"({100 * qphys32 / max(qpeak, 1e-9):.0f}% of the "
+                        f"{qpeak:.0f} GB/s DMA peak)",
+                        file=sys.stderr,
+                    )
+                if qt16 is not None:
+                    # 7 coef streams bf16 (16,128) tiles + chi/out f32
+                    qphys16 = (
+                        7 * qpad(16, 128) * 2 + 2 * qpad(8, 128) * 4
+                    ) / (qt16 * 1e-6) / 1e9
+                    print(
+                        f"# 0.25-degree pallas apply standalone "
+                        f"(trace-verified): bf16 coefs {qt16:.0f} us = "
+                        f"{qphys16:.0f} GB/s physical "
+                        f"({100 * qphys16 / max(qpeak, 1e-9):.0f}% of the "
+                        f"{qpeak:.0f} GB/s DMA peak)",
+                        file=sys.stderr,
+                    )
+            except Exception as e:
+                print(f"# 0.25-degree trace-verified lines unavailable: {e}",
+                      file=sys.stderr)
+
             @partial(jax.jit, static_argnums=4)
             def q_asm_chain(u, v, m, g, n):
                 def body(i, carry):
@@ -410,6 +497,40 @@ def main():
         except Exception as e:
             print(f"# 0.25-degree diagnostics unavailable: {e}",
                   file=sys.stderr)
+
+    if args.scale == "1deg":
+        # Full-resolution ideal-age steady state every round (f32 Krylov
+        # through the Pallas kernel + f64 defect correction), so the
+        # README's solve-time claim is captured in each BENCH_r*.json
+        # stderr. x64 is toggled only around this block: the solve casts
+        # its operands explicitly, and nothing below retraces f32 code.
+        try:
+            jax.config.update("jax_enable_x64", True)
+            gamma, res = otmb.ideal_age(
+                coeffs, wet3d, topo, tol=1e-9, apply_impl="pallas",
+                refine=True,
+            )
+            float(res)  # warm-up/compile
+            t0 = time.perf_counter()
+            gamma, res = otmb.ideal_age(
+                coeffs, wet3d, topo, tol=1e-9,
+                surface_rate=np.float32(1.001), apply_impl="pallas",
+                refine=True,
+            )
+            resf = float(res)
+            t_age = time.perf_counter() - t0
+            mean_age_yr = float(jnp.nanmean(gamma)) / (86400 * 365.25)
+            print(
+                f"# ideal-age steady state (full resolution, f64-refined): "
+                f"{t_age:.2f} s, rel residual {resf:.2e}, mean age "
+                f"{mean_age_yr:.1f} yr "
+                "(reference: ~180 s direct solve on a 4x-coarsened matrix)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# ideal-age diagnostic unavailable: {e}", file=sys.stderr)
+        finally:
+            jax.config.update("jax_enable_x64", False)
 
     t_total = t_assembly + t_pallas
     value = ncells / t_total

@@ -141,7 +141,7 @@ def _bicgstab_matrix_free(a_op, b, M, tol, maxiter):
 
 
 @partial(jax.jit, static_argnames=("topology", "method", "maxiter", "transpose",
-                                   "preconditioner", "apply_impl"))
+                                   "preconditioner", "apply_impl", "mesh"))
 def solve_shifted(
     coeffs: StencilCoeffs,
     b,
@@ -154,6 +154,7 @@ def solve_shifted(
     transpose: bool = False,
     preconditioner: str = "tridiag",
     apply_impl: str = "jnp",
+    mesh=None,
 ):
     """Solve (shift * I + D_extra + T) x = b matrix-free (T' instead of T
     when `transpose`, for adjoint problems like sequestration time).
@@ -170,15 +171,28 @@ def solve_shifted(
 
     `apply_impl="pallas"` routes the inner operator application through
     the fused Pallas stencil kernel — ~2x faster per Krylov iteration on
-    a single chip, but not partitionable by GSPMD: keep the default
-    "jnp" when the solve runs sharded under a device mesh (use
-    parallel/halo_pallas for the sharded hot path instead). Transpose
-    solves run the forward kernel on `transpose_coeffs` (the stencil form
-    of T').
+    a single chip. With `mesh` set, `apply_impl="pallas"` runs the WHOLE
+    BiCGStab loop inside one shard_map region with the ppermute-halo +
+    shard-local-Pallas matvec (parallel/solve_halo.py — the multichip
+    production path); `apply_impl="jnp"` on a mesh relies on GSPMD
+    auto-partitioning of the jnp matvec instead. Transpose solves run the
+    forward kernel on `transpose_coeffs` (the stencil form of T').
     """
     from ..ops.apply import apply_stencil_transpose
 
     b = jnp.asarray(b)
+    if mesh is not None and apply_impl == "pallas":
+        if method != "bicgstab":
+            raise ValueError(
+                "mesh + apply_impl='pallas' requires method='bicgstab'"
+            )
+        from ..parallel.solve_halo import solve_shifted_halo_pallas
+
+        return solve_shifted_halo_pallas(
+            coeffs, b, topology, mesh, shift=shift, extra_diag=extra_diag,
+            tol=tol, maxiter=maxiter, transpose=transpose,
+            preconditioner=preconditioner,
+        )
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
     if apply_impl == "pallas":
         if method != "bicgstab":
@@ -297,6 +311,7 @@ def solve_shifted_ir(
     transpose: bool = False,
     preconditioner: str = "tridiag",
     apply_impl: str = "jnp",
+    mesh=None,
 ):
     """`solve_shifted` with mixed-precision iterative refinement.
 
@@ -346,6 +361,7 @@ def solve_shifted_ir(
     x = jnp.zeros_like(b_wide)
     rel = jnp.asarray(jnp.inf, wide)
     rel_prev = float("inf")
+    stagnant = 0
     for _ in range(max_refinements):
         r_hat, s_safe, rel = _ir_defect(
             c_wide, x, b_wide, extra_wide, shift_wide, bnorm_safe,
@@ -353,12 +369,15 @@ def solve_shifted_ir(
         )
         if float(rel) <= tol:
             break
-        if float(rel) >= 0.9 * rel_prev:
-            # Each refinement should contract the residual by roughly
-            # inner_tol; no contraction means the inner Krylov solve is
-            # stagnating (likely exiting at maxiter far from inner_tol).
-            # Burning the remaining refinements cannot help — stop and
-            # tell the caller why the returned residual misses tol.
+        # Each refinement should contract the residual by roughly
+        # inner_tol; no contraction means the inner Krylov solve is
+        # stagnating (likely exiting at maxiter far from inner_tol).
+        # One slow pass can be a transient (e.g. a BiCGStab breakdown
+        # restart), so only break after TWO consecutive non-contracting
+        # passes — then burning the remaining refinements cannot help;
+        # stop and tell the caller why the returned residual misses tol.
+        stagnant = stagnant + 1 if float(rel) >= 0.9 * rel_prev else 0
+        if stagnant >= 2:
             import warnings
 
             warnings.warn(
@@ -375,7 +394,7 @@ def solve_shifted_ir(
             coeffs, r_hat.astype(narrow), topology, shift=shift,
             extra_diag=extra_diag, tol=inner_tol, method=method,
             maxiter=maxiter, transpose=transpose,
-            preconditioner=preconditioner, apply_impl=apply_impl,
+            preconditioner=preconditioner, apply_impl=apply_impl, mesh=mesh,
         )
         x = _ir_update(x, s_safe, d)
     else:
@@ -395,6 +414,7 @@ def ideal_age(
     method: str = "bicgstab",
     apply_impl: str = "jnp",
     refine: bool = False,
+    mesh=None,
 ):
     """Steady-state ideal mean age Gamma (seconds), governed by
     T Gamma = 1 - M Gamma with M a fast surface restoring mask
@@ -415,7 +435,7 @@ def ideal_age(
     solver = solve_shifted_ir if refine else solve_shifted
     gamma, res = solver(
         coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-        method=method, apply_impl=apply_impl,
+        method=method, apply_impl=apply_impl, mesh=mesh,
     )
     return jnp.where(wet, gamma, jnp.nan), res
 
@@ -429,6 +449,7 @@ def sequestration_time(
     method: str = "bicgstab",
     apply_impl: str = "jnp",
     refine: bool = False,
+    mesh=None,
 ):
     """Mean sequestration time (seconds): the adjoint of ideal age —
     expected time for water at each cell to next contact the surface,
@@ -447,6 +468,6 @@ def sequestration_time(
     solver = solve_shifted_ir if refine else solve_shifted
     gamma, res = solver(
         coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-        method=method, transpose=True, apply_impl=apply_impl,
+        method=method, transpose=True, apply_impl=apply_impl, mesh=mesh,
     )
     return jnp.where(wet, gamma, jnp.nan), res

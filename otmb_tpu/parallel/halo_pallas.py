@@ -111,10 +111,14 @@ def apply_stencil_halo_pallas(
     topology: GridTopology,
     mesh: Mesh,
     interpret: bool | None = None,
+    overlap: bool = False,
 ):
-    """y = T @ chi: ppermute halos + per-shard fused Pallas kernel."""
+    """y = T @ chi: ppermute halos + per-shard fused Pallas kernel.
+
+    `overlap=True` uses the interior/boundary split (see
+    `euler_propagate_halo_pallas`)."""
     return _halo_pallas(coeffs, jnp.asarray(chi), topology, mesh, None,
-                        interpret)
+                        interpret, overlap)
 
 
 def euler_propagate_halo_pallas(
@@ -125,14 +129,48 @@ def euler_propagate_halo_pallas(
     topology: GridTopology,
     mesh: Mesh,
     interpret: bool | None = None,
+    overlap: bool = True,
 ):
     """nsteps of chi - dt*T@chi with the halo exchange and the Pallas
-    kernel inside one shard_map region (no per-step resharding)."""
+    kernel inside one shard_map region (no per-step resharding).
+
+    `overlap=True` (default) removes the halo latency from the critical
+    path: the Pallas kernel runs on ZERO halos — so it has no data
+    dependency on the ppermutes and XLA schedules the collective-permutes
+    concurrently with the (opaque) kernel — and the four boundary
+    rows/columns are patched with the halo contributions when the
+    permutes land (each a tiny O(edge) elementwise add; same split as
+    parallel/halo._local_stencil_overlapped). Whether overlap pays on a
+    given mesh is quantified by `utils.profiling.halo_comm_model`
+    (scaling_efficiency_overlapped vs _serial)."""
     return _halo_pallas(coeffs, jnp.asarray(chi), topology, mesh,
-                        (float(dt), int(nsteps)), interpret)
+                        (float(dt), int(nsteps)), interpret, overlap)
 
 
-def _halo_pallas(coeffs, chi, topology, mesh, dt_steps, interpret):
+def _boundary_patch(coeffs_local, bulk, halos, scale):
+    """Add the halo contributions to the shard-boundary slices of a bulk
+    (zero-halo) kernel result: coef_edge * halo, scaled by -dt in the
+    fused-Euler case. The kernel computed exactly 0 for these terms (the
+    zero halo multiplies the same coefficients), so this reconstructs the
+    non-overlapped result up to summation order (~1 ulp at the edges)."""
+    east_h, west_h, north_h, south_h = halos
+    bulk = bulk.at[:, :, -1].add(
+        scale * coeffs_local.east[:, :, -1] * east_h[:, :, 0]
+    )
+    bulk = bulk.at[:, :, 0].add(
+        scale * coeffs_local.west[:, :, 0] * west_h[:, :, 0]
+    )
+    bulk = bulk.at[:, -1, :].add(
+        scale * coeffs_local.north[:, -1, :] * north_h[:, 0, :]
+    )
+    bulk = bulk.at[:, 0, :].add(
+        scale * coeffs_local.south[:, 0, :] * south_h[:, 0, :]
+    )
+    return bulk
+
+
+def _halo_pallas(coeffs, chi, topology, mesh, dt_steps, interpret,
+                 overlap=False):
     if interpret is None:
         interpret = _default_interpret()
     spec3 = P(None, "y", "x")
@@ -148,8 +186,18 @@ def _halo_pallas(coeffs, chi, topology, mesh, dt_steps, interpret):
     def _run(coeffs_local, chi_local):
         def one(c, fused_dt):
             halos = _halo_exchange(c, topology, mesh)
-            return _local_pallas_apply(coeffs_local, c, halos, fused_dt,
+            if not overlap:
+                return _local_pallas_apply(coeffs_local, c, halos, fused_dt,
+                                           interpret)
+            # Interior pass on zero halos: no data dependency on the
+            # ppermutes, so they run concurrently with the kernel.
+            zeros = tuple(jnp.zeros_like(h) for h in halos)
+            bulk = _local_pallas_apply(coeffs_local, c, zeros, fused_dt,
                                        interpret)
+            scale = jnp.asarray(
+                1.0 if fused_dt is None else -fused_dt, bulk.dtype
+            )
+            return _boundary_patch(coeffs_local, bulk, halos, scale)
 
         if dt_steps is None:
             return one(chi_local, None)

@@ -207,7 +207,11 @@ def dma_peak_probe(nstreams: int = 7, mbytes: int = 200):
     ny, nx = 512, 512  # 1 MB f32 blocks, tile-aligned
     nzb = max(1, mbytes * 1024 * 1024 // (ny * nx * 4))
 
-    def kern(*refs):
+    # The kernel function's name lands in the trace's device-op names
+    # (pallas_call lowers to a custom call carrying it), so give it a
+    # string no other op can contain — bench.py matches on it instead of
+    # a generic substring like "run" that can alias unrelated ops.
+    def otmb_dma_peak_probe_kernel(*refs):
         ins, o_ref = refs[:-1], refs[-1]
         acc = ins[0][0] * np.float32(0.999)
         for r in ins[1:]:
@@ -218,14 +222,17 @@ def dma_peak_probe(nstreams: int = 7, mbytes: int = 200):
                         memory_space=pltpu.VMEM)
 
     @jax.jit
-    def run(*xs):
+    def otmb_dma_peak_probe(*xs):
         return pl.pallas_call(
-            kern, grid=(nzb,), in_specs=[spec] * nstreams, out_specs=spec,
+            otmb_dma_peak_probe_kernel,
+            grid=(nzb,), in_specs=[spec] * nstreams, out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((nzb, ny, nx), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
         )(*xs)
+
+    run = otmb_dma_peak_probe
 
     key = jax.random.PRNGKey(0)
     arrs = [

@@ -194,10 +194,23 @@ def test_halo_pallas_matches_reference(mesh, dataset, gridmetrics, indices):
     from otmb_tpu.models.solvers import explicit_euler_propagate
 
     ref_prop = np.asarray(explicit_euler_propagate(ops.T, chi, 250.0, 8, topo))
-    out_prop = euler_propagate_halo_pallas(coeffs_sh, chi_sh, 250.0, 8, topo,
-                                           mesh, interpret=True)
-    np.testing.assert_allclose(np.asarray(out_prop), ref_prop, rtol=1e-11,
-                               atol=1e-11)
+    for overlap in (False, True):
+        out_prop = euler_propagate_halo_pallas(
+            coeffs_sh, chi_sh, 250.0, 8, topo, mesh, interpret=True,
+            overlap=overlap,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_prop), ref_prop, rtol=1e-11, atol=1e-11,
+            err_msg=f"overlap={overlap}",
+        )
+
+    # overlap (interior kernel on zero halos + boundary patch) vs serial
+    # (halos streamed into the kernel): identical up to summation order at
+    # the shard-boundary cells only
+    out_ov = apply_stencil_halo_pallas(coeffs_sh, chi_sh, topo, mesh,
+                                       interpret=True, overlap=True)
+    np.testing.assert_allclose(np.asarray(out_ov), ref, rtol=1e-12,
+                               atol=1e-13)
 
 
 def test_sharded_ideal_age_and_redi(mesh, dataset, gridmetrics, indices):
@@ -270,6 +283,175 @@ def test_sharded_iterative_refinement(mesh, dataset, gridmetrics, indices):
     age_sh, res = ideal_age(c32_sh, wet_sh, topo, tol=1e-9, refine=True)
     assert float(res) < 1e-9
     assert len(age_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(age_sh)[wet], np.asarray(ref_age)[wet], rtol=1e-3, atol=1.0
+    )
+
+
+def test_halo_pallas_bf16_coeffs(mesh, dataset, gridmetrics, indices):
+    """bf16 coefficient streams through the shard-local Pallas kernel on
+    the mesh (the mixed-precision production mode: bf16 coefficients,
+    f32 tracer/accumulation). The kernel upcasts each coefficient block
+    to the tracer dtype, so the result must match the jnp apply run on
+    the bf16-rounded coefficients in f32 — and stay within bf16
+    coefficient tolerance of the exact f32 result."""
+    import jax.numpy as jnp
+
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+    from otmb_tpu.parallel.halo_pallas import (
+        apply_stencil_halo_pallas,
+        euler_propagate_halo_pallas,
+    )
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(17)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0).astype(
+        np.float32
+    )
+
+    c_bf16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), ops.T
+    )
+    c_rounded_f32 = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32), c_bf16
+    )
+    # same arithmetic in f32 -> tight agreement
+    ref_rounded = np.asarray(apply_stencil(c_rounded_f32, chi, topo))
+
+    c_sh = shard_pytree(mesh, c_bf16)
+    chi_sh = jax.device_put(chi, sharding_for(mesh, chi))
+    for overlap in (False, True):
+        out = apply_stencil_halo_pallas(c_sh, chi_sh, topo, mesh,
+                                        interpret=True, overlap=overlap)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(out), ref_rounded, rtol=1e-5, atol=1e-7,
+            err_msg=f"overlap={overlap}",
+        )
+
+    # bf16 coefficient rounding error vs the exact operator stays at the
+    # bf16 relative level (~1e-2 worst case on small legs)
+    ref_exact = np.asarray(
+        apply_stencil(
+            jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T),
+            chi, topo,
+        )
+    )
+    err = np.abs(np.asarray(
+        apply_stencil_halo_pallas(c_sh, chi_sh, topo, mesh, interpret=True)
+    ) - ref_exact)
+    scale = np.abs(ref_exact).max()
+    assert err.max() <= 1e-2 * scale
+
+    # multi-step propagation with bf16 coefficients inside the loop
+    prop = euler_propagate_halo_pallas(c_sh, chi_sh, 250.0, 4, topo, mesh,
+                                       interpret=True)
+    assert prop.dtype == jnp.float32
+    assert np.isfinite(np.asarray(prop)[wet]).all()
+
+
+def test_sharded_krylov_halo_pallas(mesh, dataset, gridmetrics, indices):
+    """The WHOLE BiCGStab loop inside one shard_map region — ppermute halo
+    exchange + shard-local Pallas matvec + psum dot products — matches the
+    single-device solve, forward and transpose, and `ideal_age(mesh=...)`
+    runs it end to end (reference workload: test/local_full.jl:165-188)."""
+    from otmb_tpu.models.solvers import (
+        ideal_age,
+        sequestration_time,
+        solve_shifted,
+    )
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+
+    coeffs_sh = shard_pytree(mesh, ops.T)
+    wet_sh = jax.device_put(indices.wet3d, sharding_for(mesh, indices.wet3d))
+
+    # forward: ideal age through the sharded halo-Pallas Krylov loop
+    ref_age, _ = ideal_age(ops.T, indices.wet3d, topo, tol=1e-11)
+    age_sh, res = ideal_age(
+        coeffs_sh, wet_sh, topo, tol=1e-11, apply_impl="pallas", mesh=mesh
+    )
+    assert float(res) < 1e-7
+    assert len(age_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(age_sh)[wet], np.asarray(ref_age)[wet], rtol=1e-6, atol=1e-3
+    )
+
+    # transpose: sequestration time (adjoint operator) through the same loop
+    ref_seq, _ = sequestration_time(ops.T, indices.wet3d, topo, tol=1e-11)
+    seq_sh, res_t = sequestration_time(
+        coeffs_sh, wet_sh, topo, tol=1e-11, apply_impl="pallas", mesh=mesh
+    )
+    assert float(res_t) < 1e-7
+    np.testing.assert_allclose(
+        np.asarray(seq_sh)[wet], np.asarray(ref_seq)[wet], rtol=1e-6, atol=1e-3
+    )
+
+    # shifted solve with a generic right-hand side (implicit Euler shape)
+    rng = np.random.default_rng(21)
+    b = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    ref_x, _ = solve_shifted(ops.T, b, topo, shift=1e-4, tol=1e-11)
+    b_sh = jax.device_put(b, sharding_for(mesh, b))
+    x_sh, res_s = solve_shifted(
+        coeffs_sh, b_sh, topo, shift=1e-4, tol=1e-11,
+        apply_impl="pallas", mesh=mesh,
+    )
+    assert float(res_s) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(x_sh)[wet], np.asarray(ref_x)[wet], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_sharded_krylov_refined(mesh, dataset, gridmetrics, indices):
+    """Mixed-precision iterative refinement with the sharded halo-Pallas
+    inner solve: f32 Krylov inside shard_map, f64 GSPMD defect, residual
+    below the f32 floor."""
+    from otmb_tpu.models.solvers import ideal_age
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+
+    ref_age, _ = ideal_age(ops.T, indices.wet3d, topo, tol=1e-11)
+
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    c32_sh = shard_pytree(mesh, c32)
+    wet_sh = jax.device_put(indices.wet3d, sharding_for(mesh, indices.wet3d))
+    age_sh, res = ideal_age(
+        c32_sh, wet_sh, topo, tol=1e-9, refine=True,
+        apply_impl="pallas", mesh=mesh,
+    )
+    assert float(res) < 1e-9
     np.testing.assert_allclose(
         np.asarray(age_sh)[wet], np.asarray(ref_age)[wet], rtol=1e-3, atol=1.0
     )
