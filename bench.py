@@ -370,6 +370,48 @@ def main():
     )
 
     if args.scale == "1deg":
+        # Free the 1-degree bench temporaries before the memory-heavy
+        # full-resolution solve and 0.25-degree diagnostics below (the
+        # probe closure alone holds 1.4 GB of HBM). Plain rebinding is
+        # enough: jit caches do not retain input buffers.
+        cal = fresh = probe = coeffs_bf16 = None
+        rho = redi_op = None
+
+    if args.scale == "1deg":
+        # Full-resolution ideal-age steady state every round (f32 Krylov
+        # through the Pallas kernel + f64 defect correction), so the
+        # README's solve-time claim is captured in each BENCH_r*.json
+        # stderr. x64 is toggled only around this block: the solve casts
+        # its operands explicitly, and nothing below retraces f32 code.
+        try:
+            jax.config.update("jax_enable_x64", True)
+            gamma, res = otmb.ideal_age(
+                coeffs, wet3d, topo, tol=1e-9, apply_impl="pallas",
+                refine=True,
+            )
+            float(res)  # warm-up/compile
+            t0 = time.perf_counter()
+            gamma, res = otmb.ideal_age(
+                coeffs, wet3d, topo, tol=1e-9,
+                surface_rate=np.float32(1.001), apply_impl="pallas",
+                refine=True,
+            )
+            resf = float(res)
+            t_age = time.perf_counter() - t0
+            mean_age_yr = float(jnp.nanmean(gamma)) / (86400 * 365.25)
+            print(
+                f"# ideal-age steady state (full resolution, f64-refined): "
+                f"{t_age:.2f} s, rel residual {resf:.2e}, mean age "
+                f"{mean_age_yr:.1f} yr "
+                "(reference: ~180 s direct solve on a 4x-coarsened matrix)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# ideal-age diagnostic unavailable: {e}", file=sys.stderr)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    if args.scale == "1deg":
         # Scale-out-sized single-chip diagnostics: the 0.25-degree grid
         # (j-blocked kernels), one slope pass each, so every BENCH_r*.json
         # records the quarter-degree numbers too.
@@ -384,11 +426,6 @@ def main():
                 lambda g, w, u, v, m: assemble_transport(u, v, m, g, w).T
             )(qgm, qwet, qumo, qvmo, qml)
             jax.block_until_ready(qcoeffs)
-            qt_step = chain_time(
-                lambda c, cf: c - dt * apply_stencil_pallas(cf, c, qtopo),
-                qchi, qcoeffs, 25,
-            )
-
             # Trace-verified standalone 0.25-degree apply (f32 and bf16
             # coefficient streams) against the measured DMA peak — the
             # roofline number at the scale-out grid size.
@@ -465,6 +502,16 @@ def main():
                 print(f"# 0.25-degree trace-verified lines unavailable: {e}",
                       file=sys.stderr)
 
+            # Free the trace-section buffers (probe 1.4 GB, bf16 coeffs
+            # 1.7 GB, fresh tracers 1.4 GB) before the in-loop chains.
+            qprobe = qfresh = qcoeffs_bf16 = None
+
+            qt_step = chain_time(
+                lambda c, cf: c - dt * apply_stencil_pallas(cf, c, qtopo),
+                qchi, qcoeffs, 25,
+            )
+            qcoeffs = None  # assembly chain rebuilds the operator itself
+
             @partial(jax.jit, static_argnums=4)
             def q_asm_chain(u, v, m, g, n):
                 def body(i, carry):
@@ -497,40 +544,6 @@ def main():
         except Exception as e:
             print(f"# 0.25-degree diagnostics unavailable: {e}",
                   file=sys.stderr)
-
-    if args.scale == "1deg":
-        # Full-resolution ideal-age steady state every round (f32 Krylov
-        # through the Pallas kernel + f64 defect correction), so the
-        # README's solve-time claim is captured in each BENCH_r*.json
-        # stderr. x64 is toggled only around this block: the solve casts
-        # its operands explicitly, and nothing below retraces f32 code.
-        try:
-            jax.config.update("jax_enable_x64", True)
-            gamma, res = otmb.ideal_age(
-                coeffs, wet3d, topo, tol=1e-9, apply_impl="pallas",
-                refine=True,
-            )
-            float(res)  # warm-up/compile
-            t0 = time.perf_counter()
-            gamma, res = otmb.ideal_age(
-                coeffs, wet3d, topo, tol=1e-9,
-                surface_rate=np.float32(1.001), apply_impl="pallas",
-                refine=True,
-            )
-            resf = float(res)
-            t_age = time.perf_counter() - t0
-            mean_age_yr = float(jnp.nanmean(gamma)) / (86400 * 365.25)
-            print(
-                f"# ideal-age steady state (full resolution, f64-refined): "
-                f"{t_age:.2f} s, rel residual {resf:.2e}, mean age "
-                f"{mean_age_yr:.1f} yr "
-                "(reference: ~180 s direct solve on a 4x-coarsened matrix)",
-                file=sys.stderr,
-            )
-        except Exception as e:
-            print(f"# ideal-age diagnostic unavailable: {e}", file=sys.stderr)
-        finally:
-            jax.config.update("jax_enable_x64", False)
 
     t_total = t_assembly + t_pallas
     value = ncells / t_total

@@ -55,7 +55,7 @@ from .ops.velocities import (
     interpolateontodefaultCgrid,
     velocity2fluxes,
 )
-from .utils.coarsen import lump_and_spray
+from .utils.coarsen import ideal_age_coarsened, lump_and_spray
 from .utils.debugging import enable_nan_debugging, validate_operator
 from .utils.sparse_export import coeffs_to_scipy
 from .utils.synthetic import synthetic_dataset
@@ -112,6 +112,7 @@ __all__ = [
     "build_redi_operator",
     "redi_apply",
     "redi_apply_pallas",
+    "ideal_age_coarsened",
     "lump_and_spray",
     "coeffs_to_scipy",
     "synthetic_dataset",

@@ -170,3 +170,56 @@ def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2,
         100 * (1 - nwet_c / n), n, nwet_c,
     )
     return lump.tocsr(), spray, vol_c
+
+
+def ideal_age_coarsened(
+    coeffs,
+    indices,
+    topology,
+    v3d,
+    mask=None,
+    di: int = 2,
+    dj: int = 2,
+    dk: int = 1,
+    surface_rate: float = 1.0,
+):
+    """The reference's headline downstream workload, end to end
+    (test/local_full.jl:151-188): export T to a host sparse matrix,
+    LUMP/SPRAY-coarsen it, build the coarse surface-restoring mask
+    M_c = diag(LUMP @ 1_surface > 0), solve the coarse steady state
+
+        (T_c + M_c) gamma_c = LUMP @ 1
+
+    with a sparse direct solve, and SPRAY the ages back to the fine grid.
+
+    Host-side analysis tooling (scipy spsolve) by design — the coarse
+    direct solve is exactly what the reference does on a laptop; the TPU
+    path for the same physics is `models.solvers.ideal_age` (matrix-free,
+    full resolution). Returns `(gamma3d_seconds, gamma_c_seconds, vol_c)`.
+    """
+    from scipy.sparse.linalg import spsolve
+
+    from ..grid.indices import as3d, wet_vector
+    from .sparse_export import coeffs_to_scipy
+
+    T = coeffs_to_scipy(coeffs, indices, topology)
+    wet = np.asarray(indices.wet3d, bool)
+    v = wet_vector(np.nan_to_num(np.asarray(v3d, dtype=np.float64)), indices)
+
+    lump, spray, vol_c = lump_and_spray(
+        wet, v, T, mask=mask, di=di, dj=dj, dk=dk
+    )
+
+    # surface mask (reference local_full.jl:154-163): k = 0 layer
+    issrf3d = wet.copy()
+    issrf3d[1:] = False
+    issrf = wet_vector(issrf3d.astype(np.float64), indices)
+
+    T_c = (lump @ T @ spray).tocsc()
+    issrf_c = np.asarray(lump @ issrf).ravel() > 0
+    M_c = sp.diags(surface_rate * issrf_c.astype(np.float64))
+    s_c = np.asarray(lump @ np.ones(T.shape[0])).ravel()
+
+    gamma_c = spsolve((T_c + M_c).tocsc(), s_c)
+    gamma = np.asarray(spray @ gamma_c).ravel()
+    return as3d(gamma, wet), gamma_c, vol_c

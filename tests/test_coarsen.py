@@ -119,3 +119,67 @@ def test_native_matches_python(built, gridmetrics, indices):
 
         np.testing.assert_array_equal(canon(parents_py), canon(parents_c))
         np.testing.assert_allclose(np.sort(v_py), np.sort(v_c), rtol=1e-12)
+
+
+def test_ideal_age_coarsened_reference_workload(dataset, gridmetrics, indices):
+    """The reference's headline downstream workload end to end
+    (test/local_full.jl:151-188): LUMP/SPRAY-coarsened direct ideal-age
+    solve. Ports the reference's range check (0 < volume-mean age <
+    2000 yr) and adds a residual check on the coarse system and
+    consistency with the full-resolution matrix-free solve."""
+    import scipy.sparse as sp
+
+    from otmb_tpu.models.solvers import ideal_age
+    from otmb_tpu.utils.coarsen import ideal_age_coarsened
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    gamma3d, gamma_c, vol_c = ideal_age_coarsened(
+        ops.T, indices, gridmetrics.topology, gridmetrics.v3d,
+        di=2, dj=2, dk=1,
+    )
+    wet = np.asarray(indices.wet3d)
+    assert gamma3d.shape == wet.shape
+    assert np.isfinite(gamma3d[wet]).all()
+    assert np.isnan(gamma3d[~wet]).all()
+
+    # reference range check (local_full.jl:188), volume-weighted mean age
+    yr = 365.25 * 86400.0
+    v = wet_vector(np.nan_to_num(np.asarray(gridmetrics.v3d)), indices)
+    mean_age_yr = float(v @ gamma3d[wet]) / float(v.sum()) / yr
+    assert 0.0 < mean_age_yr < 2000.0
+
+    # the coarse direct solve actually solved its system
+    mat = coeffs_to_scipy(ops.T, indices, gridmetrics.topology)
+    lump, spray, _ = lump_and_spray(wet, v, mat, di=2, dj=2, dk=1)
+    t_c = (lump @ mat @ spray).tocsc()
+    issrf = wet.copy()
+    issrf[1:] = False
+    issrf_c = np.asarray(
+        lump @ wet_vector(issrf.astype(float), indices)
+    ).ravel() > 0
+    m_c = sp.diags(issrf_c.astype(float))
+    s_c = np.asarray(lump @ np.ones(mat.shape[0])).ravel()
+    res = np.linalg.norm((t_c + m_c) @ gamma_c - s_c) / np.linalg.norm(s_c)
+    assert res < 1e-8
+
+    # sprayed field is constant within each lump
+    spread = np.asarray(spray @ gamma_c).ravel()
+    assert np.allclose(spread, gamma3d[wet], rtol=0, atol=0)
+
+    # consistent with the full-resolution matrix-free solve: coarsening
+    # changes the operator, so only require same order of magnitude
+    gamma_full, res_full = ideal_age(
+        ops.T, indices.wet3d, gridmetrics.topology, tol=1e-10
+    )
+    assert float(res_full) < 1e-7
+    mean_full_yr = float(
+        v @ np.asarray(gamma_full)[wet]
+    ) / float(v.sum()) / yr
+    assert 0.2 < mean_age_yr / mean_full_yr < 5.0
