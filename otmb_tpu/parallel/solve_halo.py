@@ -34,7 +34,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..grid.topology import GridTopology
 from ..ops.coeffs import StencilCoeffs
 from .halo import _halo_exchange
-from .halo_pallas import _default_interpret, _local_pallas_apply
+from .halo_pallas import (
+    _boundary_patch,
+    _default_interpret,
+    _local_pallas_apply,
+)
 
 
 def _pdot(a, b):
@@ -45,7 +49,7 @@ def _pdot(a, b):
 @partial(
     jax.jit,
     static_argnames=("topology", "mesh", "maxiter", "transpose",
-                     "preconditioner", "interpret"),
+                     "preconditioner", "interpret", "overlap"),
 )
 def solve_shifted_halo_pallas(
     coeffs: StencilCoeffs,
@@ -59,12 +63,22 @@ def solve_shifted_halo_pallas(
     transpose: bool = False,
     preconditioner: str = "tridiag",
     interpret: bool | None = None,
+    overlap: bool = True,
 ):
     """Solve (shift*I + D_extra + T) x = b on a device mesh, matrix-free,
     with the halo-Pallas matvec inside the Krylov loop (T' when
     `transpose`). Same contract as models.solvers.solve_shifted: returns
     (x, relative_residual), residual recomputed from scratch; callers
     check it against their tolerance.
+
+    `overlap=True` (default) removes the halo latency from the matvec's
+    critical path: the Pallas kernel runs on ZERO halos (no data
+    dependency on the ppermutes, so XLA schedules the collective-permutes
+    concurrently with the kernel), and the four shard-boundary rows/
+    columns are patched when the permutes land — the same interior/
+    boundary split as `euler_propagate_halo_pallas`. The result differs
+    from the serialized matvec only by edge summation order (~1 ulp),
+    which a Krylov iteration is insensitive to.
     """
     from ..models.solvers import (
         _jacobi_preconditioner,
@@ -105,7 +119,14 @@ def solve_shifted_halo_pallas(
     def _solve(c_l, b_l, extra_l, shift_l):
         def a_op(x):
             halos = _halo_exchange(x, topology, mesh)
-            tx = _local_pallas_apply(c_l, x, halos, None, interpret)
+            if overlap:
+                zeros = tuple(jnp.zeros_like(h) for h in halos)
+                bulk = _local_pallas_apply(c_l, x, zeros, None, interpret)
+                tx = _boundary_patch(
+                    c_l, bulk, halos, jnp.asarray(1.0, bulk.dtype)
+                )
+            else:
+                tx = _local_pallas_apply(c_l, x, halos, None, interpret)
             return shift_l * x + extra_l * x + tx
 
         shifted_diag = shift_l + extra_l + c_l.diag

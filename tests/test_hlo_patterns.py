@@ -199,19 +199,21 @@ def test_pallas_redi_hlo_is_permute_only(mesh, case):
     _assert_permute_only(hlo, "redi_apply_halo_pallas")
 
 
-def test_sharded_krylov_hlo_is_permute_only(mesh, case):
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_krylov_hlo_is_permute_only(mesh, case, overlap):
     """The whole sharded BiCGStab program: halo ppermutes for the matvec;
     all-reduces appear ONLY as scalar dot products (psum of one number) —
-    never over field shapes."""
+    never over field shapes. Pinned for both the serialized and the
+    comm/compute-overlapped matvec."""
     from otmb_tpu.parallel.solve_halo import solve_shifted_halo_pallas
 
     topo, coeffs_sh, chi_sh = case
     hlo = _compiled_hlo(
         lambda c, b: solve_shifted_halo_pallas(
             c, b, topo, mesh, shift=1e-4, tol=1e-8, maxiter=50,
-            interpret=True,
+            interpret=True, overlap=overlap,
         )[0],
         coeffs_sh, chi_sh,
     )
-    _assert_permute_only(hlo, "solve_shifted_halo_pallas",
+    _assert_permute_only(hlo, f"solve_shifted_halo_pallas(overlap={overlap})",
                          allow_scalar_allreduce=True)

@@ -423,6 +423,43 @@ def test_sharded_krylov_halo_pallas(mesh, dataset, gridmetrics, indices):
     )
 
 
+def test_sharded_krylov_overlap_matches_serial(mesh, dataset, gridmetrics,
+                                               indices):
+    """The comm/compute-overlapped sharded matvec (interior kernel on zero
+    halos + boundary patch) changes only edge summation order, so the
+    converged solve must agree with the serialized-matvec solve."""
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+    from otmb_tpu.parallel.solve_halo import solve_shifted_halo_pallas
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(7)
+    b = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    coeffs_sh = shard_pytree(mesh, ops.T)
+    b_sh = jax.device_put(b, sharding_for(mesh, b))
+
+    x_ser, res_ser = solve_shifted_halo_pallas(
+        coeffs_sh, b_sh, topo, mesh, shift=1e-4, tol=1e-11, overlap=False
+    )
+    x_ovl, res_ovl = solve_shifted_halo_pallas(
+        coeffs_sh, b_sh, topo, mesh, shift=1e-4, tol=1e-11, overlap=True
+    )
+    assert float(res_ser) < 1e-9
+    assert float(res_ovl) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(x_ovl), np.asarray(x_ser), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_sharded_krylov_refined(mesh, dataset, gridmetrics, indices):
     """Mixed-precision iterative refinement with the sharded halo-Pallas
     inner solve: f32 Krylov inside shard_map, f64 GSPMD defect, residual
