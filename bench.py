@@ -59,7 +59,10 @@ def main():
     from otmb_tpu.models.transport import assemble_transport
     from otmb_tpu.ops.apply import apply_stencil
     from otmb_tpu.ops.assemble_pallas import assemble_T_pallas
-    from otmb_tpu.ops.stencil_pallas import apply_stencil_pallas
+    from otmb_tpu.ops.stencil_pallas import (
+        apply_stencil_pallas,
+        euler_step_pallas,
+    )
 
     backend = jax.default_backend()
     print(f"# backend={backend} devices={jax.devices()} grid={nx}x{ny}x{nz}",
@@ -192,8 +195,10 @@ def main():
           file=sys.stderr)
 
     nsteps = 200 if args.scale == "1deg" else 100
+    # The production step: chi - dt*T@chi fused INSIDE the kernel (no
+    # separate XLA AXPY pass re-streaming the tracer from HBM).
     t_pallas = chain_time(
-        lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0, coeffs,
+        lambda c, cf: euler_step_pallas(cf, c, float(dt), topo), chi0, coeffs,
         nsteps,
     )
     stream_bytes = 9 * ncells * np.dtype(dtype).itemsize
@@ -274,6 +279,10 @@ def main():
         lambda x: x.astype(jnp.bfloat16), coeffs
     )
     jax.block_until_ready(coeffs_bf16)
+    # Unfused form measured FASTER here than the fused-dt kernel (91 vs
+    # 122 us): with the separate XLA AXPY, memory-space assignment keeps
+    # the apply output + tracer carry VMEM-resident across iterations,
+    # which the opaque fused kernel's output cannot be.
     t_bf16 = chain_time(
         lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0,
         coeffs_bf16, nsteps,
@@ -285,6 +294,31 @@ def main():
         "same VMEM-residency caveat as the f32 in-loop line)",
         file=sys.stderr,
     )
+
+    # Multi-tracer batched step: B tracers through one kernel, coefficient
+    # streams shared across the batch (per-tracer traffic 2 + 7/B streams).
+    try:
+        from otmb_tpu.ops.stencil_pallas import euler_step_pallas_multi
+
+        B = 8
+        chis0 = jnp.stack(
+            [chi0 * jnp.float32(1.0 + 1e-3 * b) for b in range(B)]
+        )
+        jax.block_until_ready(chis0)
+        t_multi = chain_time(
+            lambda c, cf: euler_step_pallas_multi(cf, c, float(dt), topo),
+            chis0, coeffs, max(nsteps // 4, 25),
+        )
+        print(
+            f"# pallas multi-tracer euler step (B={B}, in-loop): "
+            f"{t_multi*1e6:.0f} us = {t_multi/B*1e6:.0f} us/tracer "
+            f"({B/t_multi:.0f} tracer-steps/s, "
+            f"{t_pallas/(t_multi/B):.1f}x the single-tracer step)",
+            file=sys.stderr,
+        )
+        chis0 = None
+    except Exception as e:
+        print(f"# multi-tracer line unavailable: {e}", file=sys.stderr)
 
     t_jnp = chain_time(
         lambda c, cf: c - dt * apply_stencil(cf, c, topo), chi0, coeffs, nsteps
@@ -370,6 +404,26 @@ def main():
     )
 
     if args.scale == "1deg":
+        # Analytic multichip scaling projection (one physical chip is
+        # available here, so the >=80%-at-2+-hosts north star is checked
+        # by model: measured HBM rate + v5e ICI 100 GB/s/link; the
+        # virtual-8-mesh tests pin the comm PATTERN, this pins the MATH).
+        try:
+            from otmb_tpu.utils.profiling import halo_comm_model
+
+            for shape in ((2, 2), (2, 4), (4, 8)):
+                eff = halo_comm_model(topo, shape, hbm_gbps=hbm_gbps)
+                print(
+                    f"# projected scaling efficiency on a {shape[0]}x"
+                    f"{shape[1]} mesh (analytic): "
+                    f"{100*eff['scaling_efficiency_overlapped']:.0f}% "
+                    f"overlapped / "
+                    f"{100*eff['scaling_efficiency_serial']:.0f}% serial",
+                    file=sys.stderr,
+                )
+        except Exception as e:
+            print(f"# scaling projection unavailable: {e}", file=sys.stderr)
+
         # Free the 1-degree bench temporaries before the memory-heavy
         # full-resolution solve and 0.25-degree diagnostics below (the
         # probe closure alone holds 1.4 GB of HBM). Plain rebinding is
@@ -506,10 +560,38 @@ def main():
             # 1.7 GB, fresh tracers 1.4 GB) before the in-loop chains.
             qprobe = qfresh = qcoeffs_bf16 = None
 
-            qt_step = chain_time(
-                lambda c, cf: c - dt * apply_stencil_pallas(cf, c, qtopo),
-                qchi, qcoeffs, 25,
+            # The loop-optimized propagation entry (kernel-emitted halo-row
+            # streams, single-use carry: no per-step alias-protection copy).
+            # Timed by the same two-length slope method as chain_time.
+            from otmb_tpu.ops.stencil_pallas import euler_propagate_pallas
+
+            qprop = jax.jit(
+                lambda c, cf, n: euler_propagate_pallas(
+                    cf, c, float(dt), n, qtopo
+                ),
+                static_argnums=2,
             )
+            qn = 8
+            qjit2 = np.float32(1.0 + 1e-4 * np.random.default_rng().random())
+            kq = [0]
+
+            def qrun_prop(c, n):
+                kq[0] += 1
+                c = c * (qjit2 * np.float32(1.0 + 1e-4 * kq[0]))
+                t0 = time.perf_counter()
+                out = qprop(c, qcoeffs, n)
+                s = float(jnp.sum(out))
+                assert s == s
+                return time.perf_counter() - t0
+
+            qrun_prop(qchi, qn)          # compile n
+            qrun_prop(qchi, 4 * qn)      # compile 4n
+            qslopes = []
+            for _ in range(3):
+                tq1 = qrun_prop(qchi, qn)
+                tq4 = qrun_prop(qchi, 4 * qn)
+                qslopes.append((tq4 - tq1) / (3 * qn))
+            qt_step = max(float(np.median(qslopes)), 1e-9)
             qcoeffs = None  # assembly chain rebuilds the operator itself
 
             @partial(jax.jit, static_argnums=4)

@@ -45,9 +45,20 @@ from .ops.apply import (
     operator_diagnostics,
     transpose_coeffs,
 )
+from .ops.autodiff import (
+    apply_stencil_ad,
+    differentiable_solve,
+    euler_step_ad,
+)
 from .ops.coeffs import StencilCoeffs, add_coeffs
 from .ops.fluxes import FaceFluxes, facefluxes, facefluxesfrommasstransport
-from .ops.stencil_pallas import apply_stencil_pallas, euler_step_pallas
+from .ops.stencil_pallas import (
+    apply_stencil_pallas,
+    apply_stencil_pallas_multi,
+    euler_propagate_pallas,
+    euler_step_pallas,
+    euler_step_pallas_multi,
+)
 from .ops.velocities import (
     facefluxesfromvelocities,
     fluxes2velocity,
@@ -96,8 +107,14 @@ __all__ = [
     "fluxes2velocity",
     "getarakawagrid",
     "interpolateontodefaultCgrid",
+    "apply_stencil_ad",
+    "euler_step_ad",
+    "differentiable_solve",
     "apply_stencil_pallas",
+    "apply_stencil_pallas_multi",
     "euler_step_pallas",
+    "euler_step_pallas_multi",
+    "euler_propagate_pallas",
     "assemble_transport",
     "assemble_T_pallas",
     "explicit_euler_propagate",

@@ -17,6 +17,7 @@ recomputation, everything else fused. Roofline = HBM bandwidth.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -200,6 +201,12 @@ def _apply_pallas_carry(coeffs: StencilCoeffs, chi, topology: GridTopology,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
         scratch_shapes=[pltpu.VMEM((3, ny, nx), dtype)],
         interpret=interpret,
+        # out[k] is written at grid step k+1, strictly after chi[k] was
+        # consumed (rotated into scratch at step k; the seam row is
+        # pre-gathered) — so chi's buffer can be reused for the output.
+        # In a propagation loop this lets XLA alias the loop carry through
+        # the kernel instead of round-tripping a full-array copy per step.
+        input_output_aliases={7: 0},
         cost_estimate=pl.CostEstimate(
             flops=15 * nz * ny * nx,
             bytes_accessed=9 * nz * ny * nx * dtype.itemsize,
@@ -215,12 +222,12 @@ def _stencil_kernel_blocked(
     diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
     chi_in_ref, north_row_ref, south_row_ref, seam_ref,
     out_ref,
-    chi_scr,
-    *,
+    *rest,
     by: int,
     nb: int,
     tripolar: bool,
     dt: float | None,
+    emit_rows: bool = False,
 ):
     """j-blocked carry kernel for grids whose full (ny, nx) slab set does
     not fit VMEM (v5e VMEM is 128 MB; the 0.25-degree slab set is ~167 MB).
@@ -228,7 +235,18 @@ def _stencil_kernel_blocked(
     Grid is (nb, nz+1): for each j-block the k levels stream sequentially
     with the 3-slot chi scratch rotation; the two j-halo rows of chi[k]
     and the (tripolar) seam row arrive as tiny (1, nx) side streams.
-    """
+
+    `emit_rows=True` (the propagation-loop variant) additionally writes
+    each output block's first and last row into two tiny side outputs, so
+    the NEXT step's halo-row streams can be assembled from them without
+    re-reading the full field — which keeps the carried tracer
+    SINGLE-USE and lets the chi->out buffer alias (input_output_aliases)
+    survive buffer assignment without a defensive full-array copy
+    (measured 1.5 ms/step at 0.25 degree)."""
+    if emit_rows:
+        first_ref, last_ref, chi_scr = rest
+    else:
+        (chi_scr,) = rest
     jb = pl.program_id(0)
     step = pl.program_id(1)
     k = step - 1
@@ -267,6 +285,9 @@ def _stencil_kernel_blocked(
         if dt is not None:
             acc = chi - dt * acc
         out_ref[0] = acc
+        if emit_rows:
+            first_ref[0] = acc[0:1, :]
+            last_ref[0] = acc[by - 1 : by, :]
 
     write_slot = step % _I32_3
     for slot in range(3):
@@ -364,6 +385,12 @@ def _apply_pallas_blocked(coeffs: StencilCoeffs, chi, topology: GridTopology,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
         scratch_shapes=[pltpu.VMEM((3, by, nx), dtype)],
         interpret=interpret,
+        # Safe for the same reason as the carry kernel: within a j-block
+        # out[k] is written after chi[k] was rotated into scratch, across
+        # j-blocks the halo rows/seam come from pre-gathered side streams,
+        # never from chi itself. Kills the per-step carry copies in
+        # propagation loops (measured 2 x 1.5 ms/step at 0.25 degree).
+        input_output_aliases={7: 0},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -377,6 +404,158 @@ def _apply_pallas_blocked(coeffs: StencilCoeffs, chi, topology: GridTopology,
         coeffs.south, coeffs.top, coeffs.bottom, chi, north_rows,
         south_rows, seam.astype(dtype),
     )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "topology", "dt_static", "nsteps", "interpret", "by_static"))
+def _propagate_pallas_blocked(coeffs: StencilCoeffs, chi,
+                              topology: GridTopology, dt_static,
+                              nsteps: int, interpret: bool,
+                              by_static=None):
+    """Propagation loop over the j-blocked fused Euler kernel with a
+    SINGLE-USE tracer carry.
+
+    The plain per-step apply derives the halo-row/seam side streams by
+    gathering from the carried field, which gives chi a second consumer
+    and forces XLA to protect the chi->out alias with a full-array copy
+    each iteration (1.5 ms/step at 0.25 degree). Here the kernel itself
+    emits every output block's first and last row into two tiny side
+    outputs; the next step's halo-row and seam streams are assembled
+    from those (O(nz*nb*nx) jnp glue), so the big field's only consumer
+    is the kernel and the loop runs copy-free at the kernel's own
+    roofline speed."""
+    nz, ny, nx = topology.shape3d
+    chi = jnp.asarray(chi)
+    dtype = chi.dtype
+    by = by_static if by_static else _pick_j_block(
+        ny, nx, dtype.itemsize, budget_bytes=64 * 1024 * 1024
+    )
+    nb = ny // by
+    tripolar = topology.is_tripolar
+
+    def rows_from(first, last):
+        """Assemble next-step north/south/seam streams from the blocks'
+        first/last rows: north of block jb = first row of block jb+1
+        (clamped to the global top row), south = last row of jb-1
+        (clamped to the global bottom row)."""
+        f = first.reshape(nz, nb, nx)
+        l = last.reshape(nz, nb, nx)
+        north = jnp.concatenate([f[:, 1:, :], l[:, nb - 1 :, :]], axis=1)
+        south = jnp.concatenate([f[:, :1, :], l[:, : nb - 1, :]], axis=1)
+        top = l[:, nb - 1, :]
+        seam = (top[:, ::-1] if tripolar else top).reshape(nz, 1, nx)
+        return (north.reshape(nz * nb, 1, nx),
+                south.reshape(nz * nb, 1, nx), seam)
+
+    # First-step streams come from the initial field (one-time gathers).
+    idx_n = jnp.minimum((jnp.arange(nb) + 1) * by, ny - 1)
+    idx_s = jnp.maximum(jnp.arange(nb) * by - 1, 0)
+    north0 = chi[:, idx_n, :].reshape(nz * nb, 1, nx)
+    south0 = chi[:, idx_s, :].reshape(nz * nb, 1, nx)
+    seam0 = (chi[:, ny - 1, ::-1] if tripolar
+             else chi[:, ny - 1, :]).reshape(nz, 1, nx)
+
+    blk = lambda jb, s: (jnp.maximum(s - 1, 0), jb, 0)
+    blk_in = lambda jb, s: (jnp.minimum(s, nz - 1), jb, 0)
+    row_nb = lambda jb, s: (jnp.maximum(s - 1, 0) * nb + jb, 0, 0)
+    row_seam = lambda jb, s: (jnp.maximum(s - 1, 0), 0, 0)
+
+    def spec(index_map, block):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _stencil_kernel_blocked,
+        by=by, nb=nb, tripolar=tripolar, dt=dt_static, emit_rows=True,
+    )
+
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(nb, nz + 1),
+        in_specs=[spec(blk, (1, by, nx))] * 7
+        + [
+            spec(blk_in, (1, by, nx)),
+            spec(row_nb, (1, 1, nx)),
+            spec(row_nb, (1, 1, nx)),
+            spec(row_seam, (1, 1, nx)),
+        ],
+        out_specs=[
+            spec(blk, (1, by, nx)),
+            spec(row_nb, (1, 1, nx)),
+            spec(row_nb, (1, 1, nx)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, nx), dtype),
+            jax.ShapeDtypeStruct((nz * nb, 1, nx), dtype),
+            jax.ShapeDtypeStruct((nz * nb, 1, nx), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, by, nx), dtype)],
+        interpret=interpret,
+        input_output_aliases={7: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * nz * ny * nx,
+            bytes_accessed=9 * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )
+
+    def body(_, carry):
+        c, nrows, srows, seam = carry
+        out, first, last = step_call(
+            coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+            coeffs.south, coeffs.top, coeffs.bottom, c, nrows, srows, seam,
+        )
+        return (out,) + rows_from(first, last)
+
+    out, *_ = jax.lax.fori_loop(
+        0, nsteps, body, (chi, north0, south0, seam0.astype(dtype))
+    )
+    return out
+
+
+def euler_propagate_pallas(
+    coeffs: StencilCoeffs,
+    chi,
+    dt: float,
+    nsteps: int,
+    topology: GridTopology,
+    interpret: bool | None = None,
+    variant: str = "auto",
+    by_static: int | None = None,
+):
+    """nsteps of chi - dt * T @ chi as ONE compiled loop over the fused
+    kernel (the single-chip analogue of `euler_propagate_halo_pallas`).
+
+    For VMEM-sized grids this is a plain fori_loop over
+    `euler_step_pallas` (the carry kernel's chi->out alias already makes
+    that copy-free). For j-blocked grids (0.25 degree) it switches to the
+    loop-optimized blocked kernel that emits the next step's halo-row
+    streams itself, keeping the tracer carry single-use — measured ~1.5x
+    the per-step throughput of calling `euler_step_pallas` in a loop at
+    1440x1080x75."""
+    if interpret is None:
+        interpret = _default_interpret()
+    chi = jnp.asarray(chi)
+    _check_32bit(chi, interpret)
+    v = _resolve_variant(variant, topology, chi.dtype.itemsize)
+    if v != "blocked":
+        def body(_, c):
+            return euler_step_pallas(coeffs, c, float(dt), topology,
+                                     interpret, variant)
+
+        return jax.lax.fori_loop(0, int(nsteps), body, chi)
+    if interpret:
+        return _propagate_pallas_blocked(
+            coeffs, chi, topology, float(dt), int(nsteps), interpret,
+            by_static,
+        )
+    with _x64_off():
+        return _propagate_pallas_blocked(
+            coeffs, chi, topology, float(dt), int(nsteps), interpret,
+            by_static,
+        )
 
 
 def _default_interpret() -> bool:
@@ -490,3 +669,188 @@ def euler_step_pallas(
             return _apply_pallas_blocked(coeffs, chi, topology, float(dt),
                                          interpret, by_static)
         return _IMPLS[v](coeffs, chi, topology, float(dt), interpret)
+
+# ---------------------------------------------------------------------------
+# Multi-tracer batched kernel
+# ---------------------------------------------------------------------------
+#
+# The single-tracer kernels are HBM-bound at 9 streams/cell (7 coefficient
+# reads + 1 tracer read + 1 write). Real transport workloads propagate MANY
+# tracers through the SAME operator (tracer ensembles, age + sequestration +
+# dye releases, TTD boundary propagators), and the operator coefficients
+# don't change per tracer — so batching B tracers into one kernel fetches
+# the 7 coefficient slabs ONCE per k level and shares them across the whole
+# batch. Per-tracer HBM traffic drops from 9 to (2 + 7/B) streams: ~3.1x
+# throughput per tracer at B=8. This has no reference counterpart (the
+# reference applies its sparse matrix to one vector at a time); it is the
+# structural TPU-native win for ensemble workloads.
+
+
+def _stencil_kernel_multi(
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    chi_in_ref, seam_ref,
+    out_ref,
+    chi_scr,
+    *,
+    ny: int,
+    dt: float | None,
+):
+    """Batched k-carry kernel: blocks carry ALL B tracers for one k level
+    ((B, 1, ny, nx) chi blocks vs (1, ny, nx) coefficient blocks, broadcast
+    in-kernel), with the same 3-slot VMEM scratch rotation as
+    `_stencil_kernel_carry` so each tracer is still streamed from HBM
+    exactly once."""
+    step = pl.program_id(0)
+    k = step - 1
+
+    def slot_select(slot_idx):
+        return jnp.where(
+            slot_idx == 0,
+            chi_scr[0],
+            jnp.where(slot_idx == 1, chi_scr[1], chi_scr[2]),
+        )
+
+    @pl.when(step > 0)
+    def _():
+        chi = slot_select((k + _I32_3) % _I32_3)      # (B, ny, nx)
+        chi_up = slot_select((k + _I32_2) % _I32_3)
+        chi_up = jnp.where(k > 0, chi_up, 0.0)
+        chi_dn = chi_in_ref[:, 0]                     # chi[:, k+1]
+
+        nx = chi.shape[2]
+        east = pltpu.roll(chi, np.int32(nx - 1), 2)
+        west = pltpu.roll(chi, np.int32(1), 2)
+        north = jnp.concatenate([chi[:, 1:, :], seam_ref[:, 0]], axis=1)
+        south = jnp.concatenate([chi[:, 0:1, :], chi[:, : ny - 1, :]],
+                                axis=1)
+
+        up = lambda r: r[0].astype(chi.dtype)         # (ny,nx) -> broadcast
+        acc = up(diag_ref) * chi
+        acc += up(e_ref) * east + up(w_ref) * west
+        acc += up(n_ref) * north + up(s_ref) * south
+        acc += up(t_ref) * chi_up + up(b_ref) * chi_dn
+
+        if dt is not None:
+            acc = chi - dt * acc
+        out_ref[:, 0] = acc
+
+    write_slot = step % _I32_3
+    for slot in range(3):
+        @pl.when(write_slot == slot)
+        def _(slot=slot):
+            chi_scr[slot] = chi_in_ref[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("topology", "dt_static", "interpret")
+)
+def _apply_pallas_multi(coeffs: StencilCoeffs, chis, topology: GridTopology,
+                        dt_static, interpret: bool):
+    nz, ny, nx = topology.shape3d
+    chis = jnp.asarray(chis)  # (B, nz, ny, nx) — natural batch-major layout
+    B = chis.shape[0]
+    dtype = chis.dtype
+
+    coef_k = lambda s: (jnp.maximum(s - 1, 0), 0, 0)
+    chi_in = lambda s: (0, jnp.minimum(s, nz - 1), 0, 0)
+    chi_out = lambda s: (0, jnp.maximum(s - 1, 0), 0, 0)
+
+    if topology.is_tripolar:
+        seam = chis[:, :, ny - 1, ::-1]
+    else:
+        seam = chis[:, :, ny - 1, :]
+    seam = seam.reshape(B, nz, 1, nx)
+
+    kernel = functools.partial(_stencil_kernel_multi, ny=ny, dt=dt_static)
+
+    def spec(index_map, block):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nz + 1,),
+        in_specs=[spec(coef_k, (1, ny, nx))] * 7
+        + [spec(chi_in, (B, 1, ny, nx)), spec(chi_out, (B, 1, 1, nx))],
+        out_specs=spec(chi_out, (B, 1, ny, nx)),
+        out_shape=jax.ShapeDtypeStruct((B, nz, ny, nx), dtype),
+        scratch_shapes=[pltpu.VMEM((3, B, ny, nx), dtype)],
+        interpret=interpret,
+        # Same write-after-consume argument as the single-tracer carry
+        # kernel, batched.
+        input_output_aliases={7: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * B * nz * ny * nx,
+            bytes_accessed=(2 * B + 7) * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+        coeffs.south, coeffs.top, coeffs.bottom, chis, seam.astype(dtype),
+    )
+
+
+def _multi_vmem_ok(B: int, topology: GridTopology, itemsize: int) -> bool:
+    """The batched carry kernel needs the 3-slot (3, B, ny, nx) scratch
+    plus double-buffered (B, ny, nx) chi/out blocks resident in VMEM."""
+    _, ny, nx = topology.shape3d
+    slab = ny * nx * itemsize
+    need = 3 * B * slab + 2 * 2 * B * slab + 2 * 8 * slab
+    return need <= 100 * 1024 * 1024
+
+
+def apply_stencil_pallas_multi(
+    coeffs: StencilCoeffs,
+    chis,
+    topology: GridTopology,
+    interpret: bool | None = None,
+):
+    """y[b] = T @ chis[b] for a batch of tracers in ONE fused kernel.
+
+    `chis` is (B, nz, ny, nx). The 7 coefficient slabs are fetched once
+    per k level and shared across the batch, so per-tracer HBM traffic is
+    (2 + 7/B) streams instead of 9. Falls back to a scanned single-tracer
+    kernel when the batched working set would not fit VMEM (e.g. at
+    0.25-degree scale)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    chis = jnp.asarray(chis)
+    _check_32bit(chis, interpret)
+    if chis.ndim != 4:
+        raise ValueError(f"chis must be (B, nz, ny, nx); got {chis.shape}")
+    if _multi_vmem_ok(chis.shape[0], topology, chis.dtype.itemsize):
+        with _x64_off() if not interpret else contextlib.nullcontext():
+            return _apply_pallas_multi(coeffs, chis, topology, None,
+                                       interpret)
+    return jax.lax.map(
+        lambda c: apply_stencil_pallas(coeffs, c, topology, interpret),
+        chis,
+    )
+
+
+def euler_step_pallas_multi(
+    coeffs: StencilCoeffs,
+    chis,
+    dt: float,
+    topology: GridTopology,
+    interpret: bool | None = None,
+):
+    """chis - dt * T @ chis for a batch of tracers, fused in one kernel
+    (see `apply_stencil_pallas_multi` for the batching rationale)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    chis = jnp.asarray(chis)
+    _check_32bit(chis, interpret)
+    if chis.ndim != 4:
+        raise ValueError(f"chis must be (B, nz, ny, nx); got {chis.shape}")
+    if _multi_vmem_ok(chis.shape[0], topology, chis.dtype.itemsize):
+        with _x64_off() if not interpret else contextlib.nullcontext():
+            return _apply_pallas_multi(coeffs, chis, topology, float(dt),
+                                       interpret)
+    return jax.lax.map(
+        lambda c: euler_step_pallas(coeffs, c, float(dt), topology,
+                                    interpret),
+        chis,
+    )

@@ -1,6 +1,7 @@
 """Pallas stencil kernel vs the jnp reference apply (interpreter mode on CPU)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from otmb_tpu.models.transport import transportmatrix
@@ -129,3 +130,45 @@ def test_pallas_blocked_variant(ops, gridmetrics, indices, by):
         )
     )
     np.testing.assert_allclose(out2, chi - 50.0 * ref, rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("by", [2, 7])
+def test_propagate_blocked_loop_matches_stepwise(ops, gridmetrics, indices, by):
+    """The loop-optimized blocked propagation (kernel-emitted halo-row
+    streams, single-use carry) is exactly equal to calling the blocked
+    Euler step nsteps times."""
+    from otmb_tpu.ops.stencil_pallas import euler_propagate_pallas
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(8)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    dt, nsteps = 120.0, 7
+
+    ref = jnp.asarray(chi)
+    for _ in range(nsteps):
+        ref = euler_step_pallas(ops.T, ref, dt, topo, interpret=True,
+                                variant="blocked", by_static=by)
+    out = euler_propagate_pallas(ops.T, chi, dt, nsteps, topo,
+                                 interpret=True, variant="blocked",
+                                 by_static=by)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_propagate_auto_variant_matches_stepwise(ops, gridmetrics, indices):
+    """Auto variant (carry kernel at this grid size) through the public
+    propagation entry."""
+    from otmb_tpu.ops.stencil_pallas import euler_propagate_pallas
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(9)
+    chi = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+    dt, nsteps = 120.0, 5
+
+    ref = jnp.asarray(chi)
+    for _ in range(nsteps):
+        ref = euler_step_pallas(ops.T, ref, dt, topo, interpret=True)
+    out = euler_propagate_pallas(ops.T, chi, dt, nsteps, topo,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
