@@ -226,11 +226,14 @@ def horizontal_diffusion_coeffs(
         nb_wet = neighbor_values(wet, d, topo, fill=False) & neighbor_valid(d, topo)
         active = wet & nb_wet
 
-        tval = jnp.where(
-            active,
-            kappa_h * a / (dist * v3d),
-            0.0,
-        )
+        # Double-where: NaNs (land face areas/volumes, boundary distances)
+        # must be scrubbed from BOTH operands, or the VJP wrt kappa_h
+        # accumulates 0 * NaN at masked cells (d tval/d kappa = a/denom
+        # must be finite everywhere). Forward values unchanged: at active
+        # cells numerator and denominator are untouched.
+        a_clean = jnp.where(active, a, 0.0)
+        denom = jnp.where(active, dist * v3d, 1.0)
+        tval = kappa_h * a_clean / denom
         coefs[d] = -tval
         diag = diag + tval
 
@@ -268,12 +271,16 @@ def vertical_diffusion_coeffs(
     nb_active_up = neighbor_values(active_cell, "top", topo, fill=False)
     nb_active_dn = neighbor_values(active_cell, "bottom", topo, fill=False)
 
-    tval_up = jnp.where(
-        active_cell & nb_active_up, kappa_v * area / (dz_up * v3d), 0.0
-    )
-    tval_dn = jnp.where(
-        active_cell & nb_active_dn, kappa_v * area / (dz_dn * v3d), 0.0
-    )
+    # Double-where (see horizontal_diffusion_coeffs): scrub NaN land
+    # areas/volumes and boundary dz from both operands so kappa_v
+    # gradients stay finite; forward values are unchanged.
+    m_up = active_cell & nb_active_up
+    m_dn = active_cell & nb_active_dn
+    ones = jnp.ones_like(v3d)
+    a_up = jnp.where(m_up, area * ones, 0.0)
+    a_dn = jnp.where(m_dn, area * ones, 0.0)
+    tval_up = kappa_v * a_up / jnp.where(m_up, dz_up * v3d, 1.0)
+    tval_dn = kappa_v * a_dn / jnp.where(m_dn, dz_dn * v3d, 1.0)
 
     zeros = jnp.zeros_like(v3d)
     return StencilCoeffs(
