@@ -263,12 +263,18 @@ def main():
         if t_alone is not None:
             nominal = stream_bytes / (t_alone * 1e-6) / 1e9
             physical = (9 * padded_cells(ny, nx) * 4) / (t_alone * 1e-6) / 1e9
+            pct = 100 * physical / max(peak_gbps, 1e-9)
+            note = (
+                " (ratios above 100% are real: the kernel's chi->out "
+                "buffer alias makes the store an in-place rewrite of the "
+                "pages just read, which the 9-distinct-stream traffic "
+                "model overstates)" if pct > 100 else ""
+            )
             print(
                 f"# pallas apply standalone (trace-verified on-device): "
                 f"{t_alone:.0f} us = {nominal:.0f} GB/s nominal / "
                 f"{physical:.0f} GB/s physical "
-                f"({100*physical/max(peak_gbps, 1e-9):.0f}% of the measured "
-                "DMA peak)",
+                f"({pct:.0f}% of the measured DMA peak){note}",
                 file=sys.stderr,
             )
     except Exception as e:  # profiler may be unavailable on some backends
@@ -279,12 +285,13 @@ def main():
         lambda x: x.astype(jnp.bfloat16), coeffs
     )
     jax.block_until_ready(coeffs_bf16)
-    # Unfused form measured FASTER here than the fused-dt kernel (91 vs
-    # 122 us): with the separate XLA AXPY, memory-space assignment keeps
-    # the apply output + tracer carry VMEM-resident across iterations,
-    # which the opaque fused kernel's output cannot be.
+    # Fused form: since the kernels alias chi->out, the unfused
+    # `c - dt*apply(c)` chain gives the tracer a second consumer and XLA
+    # inserts an alias-protection copy per step (measured 136 us vs the
+    # fused 122 us pre-aliasing); the fused step keeps the carry
+    # single-use.
     t_bf16 = chain_time(
-        lambda c, cf: c - dt * apply_stencil_pallas(cf, c, topo), chi0,
+        lambda c, cf: euler_step_pallas(cf, c, float(dt), topo), chi0,
         coeffs_bf16, nsteps,
     )
     print(
@@ -575,11 +582,11 @@ def main():
             qjit2 = np.float32(1.0 + 1e-4 * np.random.default_rng().random())
             kq = [0]
 
-            def qrun_prop(c, n):
+            def qrun_prop(c, n, cf=None):
                 kq[0] += 1
                 c = c * (qjit2 * np.float32(1.0 + 1e-4 * kq[0]))
                 t0 = time.perf_counter()
-                out = qprop(c, qcoeffs, n)
+                out = qprop(c, qcoeffs if cf is None else cf, n)
                 s = float(jnp.sum(out))
                 assert s == s
                 return time.perf_counter() - t0
@@ -592,6 +599,31 @@ def main():
                 tq4 = qrun_prop(qchi, 4 * qn)
                 qslopes.append((tq4 - tq1) / (3 * qn))
             qt_step = max(float(np.median(qslopes)), 1e-9)
+
+            # bf16-coefficient propagation at 0.25 degree (halved
+            # coefficient stream traffic through the same loop).
+            try:
+                qc16 = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), qcoeffs
+                )
+                jax.block_until_ready(qc16)
+                qrun_prop(qchi, qn, qc16)
+                qrun_prop(qchi, 4 * qn, qc16)
+                q16slopes = []
+                for _ in range(2):
+                    tq1 = qrun_prop(qchi, qn, qc16)
+                    tq4 = qrun_prop(qchi, 4 * qn, qc16)
+                    q16slopes.append((tq4 - tq1) / (3 * qn))
+                qt16_step = max(float(np.median(q16slopes)), 1e-9)
+                print(
+                    f"# 0.25-degree bf16-coef step (in-loop): "
+                    f"{qt16_step*1e3:.2f} ms ({1/qt16_step:.0f} steps/s)",
+                    file=sys.stderr,
+                )
+                qc16 = None
+            except Exception as e:
+                print(f"# 0.25-degree bf16 step unavailable: {e}",
+                      file=sys.stderr)
             qcoeffs = None  # assembly chain rebuilds the operator itself
 
             @partial(jax.jit, static_argnums=4)

@@ -36,7 +36,11 @@ from ..ops.coeffs import StencilCoeffs
 
 def _halo_exchange(chi, topology: GridTopology, mesh: Mesh):
     """Return (east, west, north, south) 1-cell halos of the local chi
-    block, each shaped like the corresponding boundary slice."""
+    block, each shaped like the corresponding boundary slice.
+
+    Rank-agnostic over leading axes: works on (nz, ny_l, nx_l) fields and
+    on batched (B, nz, ny_l, nx_l) tracer stacks (the multi-tracer
+    sharded path) — only the trailing (y, x) axes are sliced."""
     ny_dev = mesh.shape["y"]
     nx_dev = mesh.shape["x"]
 
@@ -45,28 +49,28 @@ def _halo_exchange(chi, topology: GridTopology, mesh: Mesh):
         right = [(s, (s + 1) % nx_dev) for s in range(nx_dev)]
         left = [(s, (s - 1) % nx_dev) for s in range(nx_dev)]
         # east halo = west-most column of the east neighbor
-        east_halo = jax.lax.ppermute(chi[:, :, :1], "x", left)
-        west_halo = jax.lax.ppermute(chi[:, :, -1:], "x", right)
+        east_halo = jax.lax.ppermute(chi[..., :1], "x", left)
+        west_halo = jax.lax.ppermute(chi[..., -1:], "x", right)
     else:
-        east_halo = chi[:, :, :1]
-        west_halo = chi[:, :, -1:]
+        east_halo = chi[..., :1]
+        west_halo = chi[..., -1:]
 
     # --- y halos (no wrap; seam handled separately) ---
     if ny_dev > 1:
         down = [(s, s - 1) for s in range(1, ny_dev)]  # send southward
         up = [(s, s + 1) for s in range(ny_dev - 1)]  # send northward
-        north_halo = jax.lax.ppermute(chi[:, :1, :], "y", down)
-        south_halo = jax.lax.ppermute(chi[:, -1:, :], "y", up)
+        north_halo = jax.lax.ppermute(chi[..., :1, :], "y", down)
+        south_halo = jax.lax.ppermute(chi[..., -1:, :], "y", up)
     else:
-        north_halo = jnp.zeros_like(chi[:, :1, :])
-        south_halo = jnp.zeros_like(chi[:, :1, :])
+        north_halo = jnp.zeros_like(chi[..., :1, :])
+        south_halo = jnp.zeros_like(chi[..., :1, :])
 
     if topology.is_tripolar:
         # Mirror-shard exchange of the i-reversed local top row. Runs in
         # every y subgroup (one tiny row each) but is only consumed by the
         # top shard row.
         mirror = [(s, nx_dev - 1 - s) for s in range(nx_dev)]
-        fold_payload = chi[:, -1:, ::-1]
+        fold_payload = chi[..., -1:, ::-1]
         fold_halo = (
             jax.lax.ppermute(fold_payload, "x", mirror)
             if nx_dev > 1

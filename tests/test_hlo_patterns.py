@@ -217,3 +217,26 @@ def test_sharded_krylov_hlo_is_permute_only(mesh, case, overlap):
     )
     _assert_permute_only(hlo, f"solve_shifted_halo_pallas(overlap={overlap})",
                          allow_scalar_allreduce=True)
+
+
+def test_pallas_multi_hlo_is_permute_only(mesh, case):
+    """Batched shard-local path: the tracer-batch axis rides inside the
+    SAME four neighbor ppermutes (payloads grow a leading B axis, no
+    extra collectives)."""
+    from otmb_tpu.parallel.halo_pallas import (
+        euler_propagate_halo_pallas_multi,
+    )
+
+    topo, coeffs_sh, chi_sh = case
+    chis_sh = jax.device_put(
+        np.stack([np.asarray(chi_sh)] * 3),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            None, None, "y", "x")),
+    )
+    hlo = _compiled_hlo(
+        lambda c, x: euler_propagate_halo_pallas_multi(
+            c, x, 300.0, 5, topo, mesh, interpret=True
+        ),
+        coeffs_sh, chis_sh,
+    )
+    _assert_permute_only(hlo, "euler_propagate_halo_pallas_multi")

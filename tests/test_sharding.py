@@ -583,3 +583,60 @@ def test_halo_redi_pallas_matches_single_device(mesh, dataset, gridmetrics,
 
     ref_jnp = np.asarray(redi_apply(op, chi))
     np.testing.assert_allclose(np.asarray(out), ref_jnp, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_halo_pallas_multi_matches_single(mesh, dataset, gridmetrics,
+                                          indices, overlap):
+    """Batched shard-local path: B tracers through one shard-local kernel
+    and four batched ppermutes must equal the single-tracer halo-Pallas
+    path per batch member (exactly for overlap=False; the overlap split
+    changes only edge summation order)."""
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+    from otmb_tpu.parallel.halo_pallas import (
+        apply_stencil_halo_pallas,
+        apply_stencil_halo_pallas_multi,
+        euler_propagate_halo_pallas,
+        euler_propagate_halo_pallas_multi,
+    )
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(13)
+    B = 3
+    chis = np.where(wet[None], rng.standard_normal((B,) + gridmetrics.shape),
+                    0.0)
+    coeffs_sh = shard_pytree(mesh, ops.T)
+    chis_sh = jax.device_put(
+        chis, jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            None, None, "y", "x"))
+    )
+
+    out = np.asarray(apply_stencil_halo_pallas_multi(
+        coeffs_sh, chis_sh, topo, mesh, overlap=overlap
+    ))
+    for b in range(B):
+        chi_sh = jax.device_put(chis[b], sharding_for(mesh, chis[b]))
+        ref = np.asarray(apply_stencil_halo_pallas(
+            coeffs_sh, chi_sh, topo, mesh, overlap=overlap
+        ))
+        np.testing.assert_array_equal(out[b], ref)
+
+    out_p = np.asarray(euler_propagate_halo_pallas_multi(
+        coeffs_sh, chis_sh, 300.0, 4, topo, mesh, overlap=overlap
+    ))
+    for b in range(B):
+        chi_sh = jax.device_put(chis[b], sharding_for(mesh, chis[b]))
+        ref = np.asarray(euler_propagate_halo_pallas(
+            coeffs_sh, chi_sh, 300.0, 4, topo, mesh, overlap=overlap
+        ))
+        np.testing.assert_array_equal(out_p[b], ref)
