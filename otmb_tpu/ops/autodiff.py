@@ -95,6 +95,10 @@ def euler_step_ad(coeffs: StencilCoeffs, chi, dt: float,
     """chi - dt * T @ chi (dt static, matching `euler_step_pallas`),
     differentiable in coefficients and tracer — usable inside
     `lax.scan`/`fori_loop` propagation loops under `jax.grad`."""
+    return _euler_step(coeffs, chi, dt, topology, impl)
+
+
+def _euler_step(coeffs, chi, dt, topology, impl):
     if impl == "pallas":
         from .stencil_pallas import euler_step_pallas
 
@@ -103,7 +107,7 @@ def euler_step_ad(coeffs: StencilCoeffs, chi, dt: float,
 
 
 def _euler_ad_fwd(coeffs, chi, dt, topology, impl):
-    return euler_step_ad(coeffs, chi, dt, topology, impl), (coeffs, chi)
+    return _euler_step(coeffs, chi, dt, topology, impl), (coeffs, chi)
 
 
 def _euler_ad_bwd(dt, topology, impl, res, ybar):
@@ -132,8 +136,7 @@ def differentiable_solve(topology: GridTopology, **opts):
     test/local_full.jl:165-188.
     """
 
-    @jax.custom_vjp
-    def solve(coeffs, b, shift, extra_diag):
+    def _solve_impl(coeffs, b, shift, extra_diag):
         from ..models.solvers import solve_shifted
 
         x, _ = solve_shifted(
@@ -141,8 +144,10 @@ def differentiable_solve(topology: GridTopology, **opts):
         )
         return x
 
+    solve = jax.custom_vjp(_solve_impl)
+
     def fwd(coeffs, b, shift, extra_diag):
-        x = solve(coeffs, b, shift, extra_diag)
+        x = _solve_impl(coeffs, b, shift, extra_diag)
         return x, (coeffs, x, shift, extra_diag)
 
     def bwd(res, xbar):
