@@ -624,6 +624,38 @@ def main():
             except Exception as e:
                 print(f"# 0.25-degree bf16 step unavailable: {e}",
                       file=sys.stderr)
+
+            # Full 0.25-degree ideal-age steady state: f32 BiCGStab with
+            # the j-blocked Pallas matvec + vertical-line preconditioner
+            # (no f64 refinement — f32 residual floor). The reference's
+            # headline workload needed ~3 min on a 4x-COARSENED 1-degree
+            # matrix; this is the uncoarsened quarter-degree grid.
+            try:
+                t0 = time.perf_counter()
+                gamma_q, res_q = otmb.ideal_age(
+                    qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="pallas"
+                )
+                rq = float(res_q)
+                t_warm = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                gamma_q, res_q = otmb.ideal_age(
+                    qcoeffs, qwet, qtopo, tol=1e-4,
+                    surface_rate=np.float32(1.001), apply_impl="pallas",
+                )
+                rq = float(res_q)
+                tq_age = time.perf_counter() - t0
+                mean_q = float(jnp.nanmean(gamma_q)) / (86400 * 365.25)
+                print(
+                    f"# 0.25-degree ideal-age steady state (f32 Krylov, "
+                    f"j-blocked matvec): {tq_age:.1f} s "
+                    f"(first call incl. compile {t_warm:.1f} s), rel "
+                    f"residual {rq:.1e}, mean age {mean_q:.1f} yr",
+                    file=sys.stderr,
+                )
+                gamma_q = None
+            except Exception as e:
+                print(f"# 0.25-degree ideal-age unavailable: {e}",
+                      file=sys.stderr)
             qcoeffs = None  # assembly chain rebuilds the operator itself
 
             @partial(jax.jit, static_argnums=4)

@@ -3,20 +3,23 @@
 The 19-point Redi stencil (models/redi.py) reaches two cells deep through
 the face-flux cross terms, so a sharded apply needs more than the 7-point
 stencil's single chi halo. Instead of a 2-cell halo, the cross-shard data
-flows as three rounds of 1-cell boundary lines inside one shard_map
-region — each round exchanging *computed* quantities so every cell's
-arithmetic is identical to the single-chip kernel:
+flows as 1-cell boundary lines inside one shard_map region — each
+exchanging quantities whose payloads derive only from LOCAL data, so all
+ppermutes issue in ONE concurrent communication round (total comm
+latency = one neighbor round-trip per apply):
 
-  1. chi halos (east/west columns, north/south rows, tripolar mirror fold)
-     via the same `_halo_exchange` as the 7-point path;
-  2. the cell-centered vertical derivative dcz — computed locally (it is
-     k-local) — exchanged as its east column + north row (the north fold
-     is unnecessary: the seam cross term multiplies s_n == 0,
-     models/redi.py);
-  3. the east/north face fluxes at the shard's last column/row — pure
-     boundary-line algebra outside the kernel (as the j-blocked
-     single-chip variant does for its block halos) — sent to the east/
-     north neighbor for the divergence's west/south shifts.
+  * chi halos (east/west columns, north/south rows, tripolar mirror fold)
+    via the same `_halo_exchange` as the 7-point path;
+  * the cell-centered vertical derivative dcz — computed locally (it is
+    k-local) — as east column + north row for the shard's own face
+    fluxes (the north fold is unnecessary: the seam cross term
+    multiplies s_n == 0, models/redi.py), and as west column + south
+    row for receiver-side interface fluxes;
+  * the neighbor's static coefficient lines (ae/inv_de/s_e east columns,
+    an/inv_dn/s_n north rows), so each shard evaluates its OWN west/
+    south interface fluxes with bitwise-identical operands and operand
+    order — eliminating what used to be a third, serially dependent
+    flux-exchange round.
 
 The kernel itself is `models/redi_pallas._redi_kernel` with the periodic
 lane rolls / self-row concats replaced by halo-patched shifts; the
@@ -233,28 +236,54 @@ def redi_apply_halo_pallas(
         else:
             dczn_row = jnp.zeros_like(dcz[:, :1, :])
 
-        # Round 3: boundary fluxes for the divergence shifts, recomputed
-        # on the lines with the exact kernel algebra, then sent east/north.
-        dcz_e_last = 0.5 * (dcz[:, :, -1:] + dcze_col)
-        fe_last = op_l.ae[:, :, -1:] * (
-            op_l.inv_de[None, :, -1:] * (chie_col - chi_l[:, :, -1:])
-            + op_l.s_e[:, :, -1:] * dcz_e_last
-        )
-        dcz_n_last = 0.5 * (dcz[:, -1:, :] + dczn_row)
-        fn_last = op_l.an[:, -1:, :] * (
-            op_l.inv_dn[None, -1:, :] * (chin_row - chi_l[:, -1:, :])
-            + op_l.s_n[:, -1:, :] * dcz_n_last
-        )
+        # Boundary fluxes for the divergence shifts — computed RECEIVER-
+        # side, so no third dependent exchange round exists: my west-
+        # interface flux is exactly the flux my west neighbor evaluates
+        # at its east face, and every operand is either local or a
+        # boundary line whose ppermute payload derives from LOCAL data
+        # (chi/dcz lines, static coefficient lines). All exchanges in
+        # this region therefore issue concurrently — one comm round per
+        # apply instead of three serialized ones. Operand order matches
+        # the sender-side expression exactly, so the result stays
+        # bitwise identical to the single-chip kernel.
         if nx_dev > 1:
             right = [(s, (s + 1) % nx_dev) for s in range(nx_dev)]
-            few_col = jax.lax.ppermute(fe_last, "x", right)
+            dczw_col = jax.lax.ppermute(dcz[:, :, -1:], "x", right)
+            ae_w = jax.lax.ppermute(op_l.ae[:, :, -1:], "x", right)
+            invde_w = jax.lax.ppermute(
+                op_l.inv_de[None, :, -1:], "x", right
+            )
+            se_w = jax.lax.ppermute(op_l.s_e[:, :, -1:], "x", right)
         else:
-            few_col = fe_last
+            dczw_col = dcz[:, :, -1:]
+            ae_w = op_l.ae[:, :, -1:]
+            invde_w = op_l.inv_de[None, :, -1:]
+            se_w = op_l.s_e[:, :, -1:]
         if ny_dev > 1:
             up_p = [(s, s + 1) for s in range(ny_dev - 1)]
-            fns_row = jax.lax.ppermute(fn_last, "y", up_p)
+            dczs_row = jax.lax.ppermute(dcz[:, -1:, :], "y", up_p)
+            an_s = jax.lax.ppermute(op_l.an[:, -1:, :], "y", up_p)
+            invdn_s = jax.lax.ppermute(
+                op_l.inv_dn[None, -1:, :], "y", up_p
+            )
+            sn_s = jax.lax.ppermute(op_l.s_n[:, -1:, :], "y", up_p)
         else:
-            fns_row = jnp.zeros_like(fn_last)
+            dczs_row = jnp.zeros_like(dcz[:, -1:, :])
+            an_s = jnp.zeros_like(op_l.an[:, -1:, :])
+            invdn_s = jnp.zeros_like(op_l.inv_dn[None, -1:, :])
+            sn_s = jnp.zeros_like(op_l.s_n[:, -1:, :])
+
+        # sender-side: fe = ae*(inv_de*(chi_e - chi) + s_e*0.5*(dcz + dcz_e))
+        # with, from my perspective: chi_e -> my first column, chi -> the
+        # received chiw_col, dcz -> dczw_col, dcz_e -> my first dcz column.
+        few_col = ae_w * (
+            invde_w * (chi_l[:, :, :1] - chiw_col)
+            + se_w * (0.5 * (dczw_col + dcz[:, :, :1]))
+        )
+        fns_row = an_s * (
+            invdn_s * (chi_l[:, :1, :] - chis_row)
+            + sn_s * (0.5 * (dczs_row + dcz[:, :1, :]))
+        )
 
         halos = (chie_col, chiw_col, chin_row, chis_row,
                  dcze_col, dczn_row, few_col, fns_row)
