@@ -824,6 +824,12 @@ def apply_stencil_pallas_multi(
         with _x64_off() if not interpret else contextlib.nullcontext():
             return _apply_pallas_multi(coeffs, chis, topology, None,
                                        interpret)
+    _, ny, nx = topology.shape3d
+    if _pick_j_block_multi(chis.shape[0], ny, nx, chis.dtype.itemsize,
+                           96 * 1024 * 1024) is not None:
+        with _x64_off() if not interpret else contextlib.nullcontext():
+            return _apply_pallas_blocked_multi(coeffs, chis, topology,
+                                               None, interpret)
     return jax.lax.map(
         lambda c: apply_stencil_pallas(coeffs, c, topology, interpret),
         chis,
@@ -849,8 +855,322 @@ def euler_step_pallas_multi(
         with _x64_off() if not interpret else contextlib.nullcontext():
             return _apply_pallas_multi(coeffs, chis, topology, float(dt),
                                        interpret)
+    _, ny, nx = topology.shape3d
+    if _pick_j_block_multi(chis.shape[0], ny, nx, chis.dtype.itemsize,
+                           96 * 1024 * 1024) is not None:
+        with _x64_off() if not interpret else contextlib.nullcontext():
+            return _apply_pallas_blocked_multi(coeffs, chis, topology,
+                                               float(dt), interpret)
     return jax.lax.map(
         lambda c: euler_step_pallas(coeffs, c, float(dt), topology,
                                     interpret),
         chis,
     )
+
+
+# ---------------------------------------------------------------------------
+# j-blocked multi-tracer kernels (batching at 0.25-degree scale)
+# ---------------------------------------------------------------------------
+#
+# The full-slab batched kernel above needs 3*B k-slabs resident in VMEM,
+# which the 0.25-degree grid cannot afford; this family combines the
+# j-blocking of `_stencil_kernel_blocked` with the tracer batching of
+# `_stencil_kernel_multi`: (B, 1, by, nx) tracer blocks against
+# (1, by, nx) coefficient blocks, so the coefficient streams are still
+# fetched once per (j-block, k) and shared across the batch — per-tracer
+# HBM traffic 2 + 7/B streams at the scale-out grid size.
+
+
+def _stencil_kernel_blocked_multi(
+    diag_ref, e_ref, w_ref, n_ref, s_ref, t_ref, b_ref,
+    chi_in_ref, north_row_ref, south_row_ref, seam_ref,
+    out_ref,
+    *rest,
+    by: int,
+    nb: int,
+    tripolar: bool,
+    dt: float | None,
+    emit_rows: bool = False,
+):
+    if emit_rows:
+        first_ref, last_ref, chi_scr = rest
+    else:
+        (chi_scr,) = rest
+    jb = pl.program_id(0)
+    step = pl.program_id(1)
+    k = step - 1
+
+    def slot_select(slot_idx):
+        return jnp.where(
+            slot_idx == 0,
+            chi_scr[0],
+            jnp.where(slot_idx == 1, chi_scr[1], chi_scr[2]),
+        )
+
+    @pl.when(step > 0)
+    def _():
+        chi = slot_select((k + _I32_3) % _I32_3)      # (B, by, nx)
+        chi_up = slot_select((k + _I32_2) % _I32_3)
+        chi_up = jnp.where(k > 0, chi_up, 0.0)
+        chi_dn = chi_in_ref[:, 0]
+
+        nx = chi.shape[2]
+        east = pltpu.roll(chi, np.int32(nx - 1), 2)
+        west = pltpu.roll(chi, np.int32(1), 2)
+
+        if tripolar:
+            last_row = jnp.where(
+                jb == nb - 1, seam_ref[:, 0], north_row_ref[:, 0]
+            )
+        else:
+            last_row = north_row_ref[:, 0]
+        north = jnp.concatenate([chi[:, 1:, :], last_row], axis=1)
+        south = jnp.concatenate(
+            [south_row_ref[:, 0], chi[:, : by - 1, :]], axis=1
+        )
+
+        up = lambda r: r[0].astype(chi.dtype)  # (by, nx), broadcast on B
+        acc = up(diag_ref) * chi
+        acc += up(e_ref) * east + up(w_ref) * west
+        acc += up(n_ref) * north + up(s_ref) * south
+        acc += up(t_ref) * chi_up + up(b_ref) * chi_dn
+
+        if dt is not None:
+            acc = chi - dt * acc
+        out_ref[:, 0] = acc
+        if emit_rows:
+            first_ref[:, 0] = acc[:, 0:1, :]
+            last_ref[:, 0] = acc[:, by - 1 : by, :]
+
+    write_slot = step % _I32_3
+    for slot in range(3):
+        @pl.when(write_slot == slot)
+        def _(slot=slot):
+            chi_scr[slot] = chi_in_ref[:, 0]
+
+
+def _pick_j_block_multi(B: int, ny: int, nx: int, itemsize: int,
+                        budget_bytes: int) -> int | None:
+    """Legal j-block for the batched blocked kernel, or None if no block
+    fits: double-buffered (7 coef + 2B tracer) blocks + the (3, B) chi
+    scratch must fit the budget; same divisibility/sublane rules and
+    mid-size preference as `_pick_j_block`."""
+    need = lambda by: ((7 + 2 * B) * 2 + 3 * B) * by * nx * itemsize
+    divisors = sorted((d for d in range(1, ny + 1) if ny % d == 0),
+                      reverse=True)
+    legal = [
+        d for d in divisors
+        if (d % 8 == 0 or d == ny) and need(d) <= budget_bytes
+    ]
+    preferred = [d for d in legal if d <= 256]
+    if preferred:
+        return preferred[0]
+    return legal[-1] if legal else None
+
+
+def _blocked_multi_specs(B, nz, ny, nx, by, nb):
+    blk = lambda jb, s: (0, jnp.maximum(s - 1, 0), jb, 0)
+    blk_in = lambda jb, s: (0, jnp.minimum(s, nz - 1), jb, 0)
+    row_nb = lambda jb, s: (0, jnp.maximum(s - 1, 0) * nb + jb, 0, 0)
+    row_seam = lambda jb, s: (0, jnp.maximum(s - 1, 0), 0, 0)
+    coef = lambda jb, s: (jnp.maximum(s - 1, 0), jb, 0)
+
+    def spec(index_map, block):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    in_specs = [spec(coef, (1, by, nx))] * 7 + [
+        spec(blk_in, (B, 1, by, nx)),
+        spec(row_nb, (B, 1, 1, nx)),
+        spec(row_nb, (B, 1, 1, nx)),
+        spec(row_seam, (B, 1, 1, nx)),
+    ]
+    out_spec = spec(blk, (B, 1, by, nx))
+    row_out = spec(row_nb, (B, 1, 1, nx))
+    return in_specs, out_spec, row_out
+
+
+def _blocked_multi_side_streams(chis, topology, by, nb):
+    B, nz, ny, nx = chis.shape
+    idx_n = jnp.minimum((jnp.arange(nb) + 1) * by, ny - 1)
+    idx_s = jnp.maximum(jnp.arange(nb) * by - 1, 0)
+    north_rows = chis[:, :, idx_n, :].reshape(B, nz * nb, 1, nx)
+    south_rows = chis[:, :, idx_s, :].reshape(B, nz * nb, 1, nx)
+    seam = (chis[:, :, ny - 1, ::-1] if topology.is_tripolar
+            else chis[:, :, ny - 1, :]).reshape(B, nz, 1, nx)
+    return north_rows, south_rows, seam
+
+
+@functools.partial(jax.jit, static_argnames=("topology", "dt_static",
+                                             "interpret", "by_static"))
+def _apply_pallas_blocked_multi(coeffs: StencilCoeffs, chis,
+                                topology: GridTopology, dt_static,
+                                interpret: bool, by_static=None):
+    nz, ny, nx = topology.shape3d
+    chis = jnp.asarray(chis)
+    B = chis.shape[0]
+    dtype = chis.dtype
+    by = by_static or _pick_j_block_multi(
+        B, ny, nx, dtype.itemsize, budget_bytes=96 * 1024 * 1024
+    )
+    if by is None:
+        raise ValueError(f"no legal j-block for B={B} at {(ny, nx)}")
+    nb = ny // by
+    north_rows, south_rows, seam = _blocked_multi_side_streams(
+        chis, topology, by, nb
+    )
+    in_specs, out_spec, _ = _blocked_multi_specs(B, nz, ny, nx, by, nb)
+    kernel = functools.partial(
+        _stencil_kernel_blocked_multi,
+        by=by, nb=nb, tripolar=topology.is_tripolar, dt=dt_static,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nz + 1),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nz, ny, nx), dtype),
+        scratch_shapes=[pltpu.VMEM((3, B, by, nx), dtype)],
+        interpret=interpret,
+        input_output_aliases={7: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * B * nz * ny * nx,
+            bytes_accessed=(2 * B + 7) * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+        coeffs.south, coeffs.top, coeffs.bottom, chis,
+        north_rows, south_rows, seam.astype(dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "topology", "dt_static", "nsteps", "interpret", "by_static"))
+def _propagate_pallas_blocked_multi(coeffs: StencilCoeffs, chis,
+                                    topology: GridTopology, dt_static,
+                                    nsteps: int, interpret: bool,
+                                    by_static=None):
+    """Batched analogue of `_propagate_pallas_blocked`: single-use tracer
+    carry via kernel-emitted halo rows."""
+    nz, ny, nx = topology.shape3d
+    chis = jnp.asarray(chis)
+    B = chis.shape[0]
+    dtype = chis.dtype
+    by = by_static or _pick_j_block_multi(
+        B, ny, nx, dtype.itemsize, budget_bytes=96 * 1024 * 1024
+    )
+    if by is None:
+        raise ValueError(f"no legal j-block for B={B} at {(ny, nx)}")
+    nb = ny // by
+    tripolar = topology.is_tripolar
+
+    def rows_from(first, last):
+        f = first.reshape(B, nz, nb, nx)
+        la = last.reshape(B, nz, nb, nx)
+        north = jnp.concatenate([f[:, :, 1:, :], la[:, :, nb - 1 :, :]],
+                                axis=2)
+        south = jnp.concatenate([f[:, :, :1, :], la[:, :, : nb - 1, :]],
+                                axis=2)
+        top = la[:, :, nb - 1, :]
+        seam = (top[:, :, ::-1] if tripolar else top).reshape(B, nz, 1, nx)
+        return (north.reshape(B, nz * nb, 1, nx),
+                south.reshape(B, nz * nb, 1, nx), seam)
+
+    north0, south0, seam0 = _blocked_multi_side_streams(
+        chis, topology, by, nb
+    )
+    in_specs, out_spec, row_out = _blocked_multi_specs(B, nz, ny, nx, by, nb)
+    kernel = functools.partial(
+        _stencil_kernel_blocked_multi,
+        by=by, nb=nb, tripolar=tripolar, dt=dt_static, emit_rows=True,
+    )
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(nb, nz + 1),
+        in_specs=in_specs,
+        out_specs=[out_spec, row_out, row_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nz, ny, nx), dtype),
+            jax.ShapeDtypeStruct((B, nz * nb, 1, nx), dtype),
+            jax.ShapeDtypeStruct((B, nz * nb, 1, nx), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, B, by, nx), dtype)],
+        interpret=interpret,
+        input_output_aliases={7: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * B * nz * ny * nx,
+            bytes_accessed=(2 * B + 7) * nz * ny * nx * dtype.itemsize,
+            transcendentals=0,
+        ),
+    )
+
+    def body(_, carry):
+        c, nrows, srows, seam = carry
+        out, first, last = step_call(
+            coeffs.diag, coeffs.east, coeffs.west, coeffs.north,
+            coeffs.south, coeffs.top, coeffs.bottom, c, nrows, srows, seam,
+        )
+        return (out,) + rows_from(first, last)
+
+    out, *_ = jax.lax.fori_loop(
+        0, nsteps, body, (chis, north0, south0, seam0.astype(dtype))
+    )
+    return out
+
+
+def euler_propagate_pallas_multi(
+    coeffs: StencilCoeffs,
+    chis,
+    dt: float,
+    nsteps: int,
+    topology: GridTopology,
+    interpret: bool | None = None,
+    by_static: int | None = None,
+):
+    """nsteps of the batched fused Euler step as one compiled loop:
+    full-slab batched kernel when 3*B k-slabs fit VMEM, else the
+    j-blocked batched kernel with kernel-emitted halo rows (single-use
+    carry), else a scanned single-tracer loop."""
+    if interpret is None:
+        interpret = _default_interpret()
+    chis = jnp.asarray(chis)
+    _check_32bit(chis, interpret)
+    if chis.ndim != 4:
+        raise ValueError(f"chis must be (B, nz, ny, nx); got {chis.shape}")
+    B = chis.shape[0]
+    _, ny, nx = topology.shape3d
+    if _multi_vmem_ok(B, topology, chis.dtype.itemsize):
+        def body(_, c):
+            return euler_step_pallas_multi(coeffs, c, float(dt), topology,
+                                           interpret)
+
+        return jax.lax.fori_loop(0, int(nsteps), body, chis)
+    by = by_static or _pick_j_block_multi(
+        B, ny, nx, chis.dtype.itemsize, budget_bytes=96 * 1024 * 1024
+    )
+    if by is not None:
+        if interpret:
+            return _propagate_pallas_blocked_multi(
+                coeffs, chis, topology, float(dt), int(nsteps), interpret,
+                by_static,
+            )
+        with _x64_off():
+            return _propagate_pallas_blocked_multi(
+                coeffs, chis, topology, float(dt), int(nsteps), interpret,
+                by_static,
+            )
+
+    def body(_, c):
+        return jax.lax.map(
+            lambda x: euler_step_pallas(coeffs, x, float(dt), topology,
+                                        interpret),
+            c,
+        )
+
+    return jax.lax.fori_loop(0, int(nsteps), body, chis)

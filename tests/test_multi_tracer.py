@@ -77,12 +77,13 @@ def test_multi_bf16_coeffs(case):
 
 
 def test_multi_vmem_fallback(case, monkeypatch):
-    """When the batched working set would not fit VMEM the entry point
-    scans the single-tracer kernel instead — same results."""
+    """When neither batched kernel's working set fits VMEM the entry
+    point scans the single-tracer kernel instead — same results."""
     import otmb_tpu.ops.stencil_pallas as sp
 
     topo, coeffs, chis = case
     monkeypatch.setattr(sp, "_multi_vmem_ok", lambda *a: False)
+    monkeypatch.setattr(sp, "_pick_j_block_multi", lambda *a: None)
     out = np.asarray(sp.apply_stencil_pallas_multi(coeffs, chis, topo))
     for b in range(chis.shape[0]):
         ref = np.asarray(apply_stencil_pallas(coeffs, chis[b], topo))
@@ -125,3 +126,108 @@ def test_multi_propagation_conserves_mass(case):
         m1 = float((out[b].astype(np.float64) * v).sum())
         scale = float((np.abs(chis[b]).astype(np.float64) * v).sum())
         assert abs(m1 - m0) / scale < 1e-6  # f32 kernel arithmetic
+
+
+@pytest.fixture(scope="module", params=["bipolar", "tripolar"])
+def tall_case(request):
+    """ny=16 so by_static=8 gives a genuine multi-block (nb=2) grid."""
+    ds = synthetic_dataset(nx=16, ny=16, nz=5, topology=request.param, seed=6)
+    gm = makegridmetrics(
+        areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon, lat=ds.lat,
+        lev=ds.lev, lon_vertices=ds.lon_vertices, lat_vertices=ds.lat_vertices,
+    )
+    idx = makeindices(gm.v3d)
+    phi = facefluxesfrommasstransport(
+        umo=ds.umo, vmo=ds.vmo, gridmetrics=gm, indices=idx
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=ds.mlotst, gridmetrics=gm, indices=idx
+    )
+    wet = np.asarray(idx.wet3d)
+    rng = np.random.default_rng(17)
+    chis = np.where(
+        wet[None], rng.standard_normal((3,) + gm.shape), 0.0
+    ).astype(np.float32)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    return gm.topology, c32, chis
+
+
+def test_blocked_multi_apply_matches_single(tall_case):
+    from otmb_tpu.ops.stencil_pallas import _apply_pallas_blocked_multi
+
+    topo, coeffs, chis = tall_case
+    out = np.asarray(_apply_pallas_blocked_multi(
+        coeffs, chis, topo, None, True, by_static=8
+    ))
+    for b in range(chis.shape[0]):
+        ref = np.asarray(apply_stencil_pallas(
+            coeffs, chis[b], topo, interpret=True, variant="blocked",
+            by_static=8,
+        ))
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_blocked_multi_euler_matches_single(tall_case):
+    from otmb_tpu.ops.stencil_pallas import _apply_pallas_blocked_multi
+
+    topo, coeffs, chis = tall_case
+    out = np.asarray(_apply_pallas_blocked_multi(
+        coeffs, chis, topo, 120.0, True, by_static=8
+    ))
+    for b in range(chis.shape[0]):
+        ref = np.asarray(euler_step_pallas(
+            coeffs, chis[b], 120.0, topo, interpret=True,
+            variant="blocked", by_static=8,
+        ))
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_propagate_multi_blocked_loop_matches_stepwise(tall_case):
+    """The batched loop-optimized blocked propagation (kernel-emitted
+    rows, single-use carry) equals per-step batched blocked calls."""
+    from otmb_tpu.ops.stencil_pallas import (
+        _apply_pallas_blocked_multi,
+        _propagate_pallas_blocked_multi,
+    )
+
+    topo, coeffs, chis = tall_case
+    dt, nsteps = 100.0, 6
+    ref = jnp.asarray(chis)
+    for _ in range(nsteps):
+        ref = _apply_pallas_blocked_multi(coeffs, ref, topo, dt, True,
+                                          by_static=8)
+    out = _propagate_pallas_blocked_multi(
+        coeffs, chis, topo, dt, nsteps, True, by_static=8
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_propagate_multi_public_entry(case):
+    """Public euler_propagate_pallas_multi on the small (carry-path) grid
+    equals stepwise euler_step_pallas_multi."""
+    from otmb_tpu.ops.stencil_pallas import euler_propagate_pallas_multi
+
+    topo, coeffs, chis = case
+    dt, nsteps = 150.0, 5
+    ref = jnp.asarray(chis)
+    for _ in range(nsteps):
+        ref = euler_step_pallas_multi(coeffs, ref, dt, topo)
+    out = euler_propagate_pallas_multi(coeffs, chis, dt, nsteps, topo)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_propagate_multi_blocked_dispatch(tall_case, monkeypatch):
+    """When the full-slab batched working set does not fit, the public
+    propagation entry routes to the blocked batched loop."""
+    import otmb_tpu.ops.stencil_pallas as sp
+
+    topo, coeffs, chis = tall_case
+    monkeypatch.setattr(sp, "_multi_vmem_ok", lambda *a: False)
+    out = sp.euler_propagate_pallas_multi(
+        coeffs, chis, 100.0, 3, topo, by_static=8
+    )
+    ref = jnp.asarray(chis)
+    for _ in range(3):
+        ref = sp._apply_pallas_blocked_multi(coeffs, ref, topo, 100.0,
+                                             True, by_static=8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
