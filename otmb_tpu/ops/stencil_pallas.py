@@ -206,7 +206,12 @@ def _apply_pallas_carry(coeffs: StencilCoeffs, chi, topology: GridTopology,
         # pre-gathered) — so chi's buffer can be reused for the output.
         # In a propagation loop this lets XLA alias the loop carry through
         # the kernel instead of round-tripping a full-array copy per step.
-        input_output_aliases={7: 0},
+        # Fused-Euler only: in the plain apply (dt=None) callers keep
+        # using chi (e.g. the Krylov a_op adds shift*x), and the aliased
+        # custom call under a while_loop has crashed the TPU worker at
+        # 0.25-degree scale — the protection copy XLA must insert is not
+        # reliable there, so the apply path stays alias-free.
+        input_output_aliases={7: 0} if dt_static is not None else {},
         cost_estimate=pl.CostEstimate(
             flops=15 * nz * ny * nx,
             bytes_accessed=9 * nz * ny * nx * dtype.itemsize,
@@ -390,7 +395,8 @@ def _apply_pallas_blocked(coeffs: StencilCoeffs, chi, topology: GridTopology,
         # j-blocks the halo rows/seam come from pre-gathered side streams,
         # never from chi itself. Kills the per-step carry copies in
         # propagation loops (measured 2 x 1.5 ms/step at 0.25 degree).
-        input_output_aliases={7: 0},
+        # Fused-Euler only (see _apply_pallas_carry).
+        input_output_aliases={7: 0} if dt_static is not None else {},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -776,8 +782,8 @@ def _apply_pallas_multi(coeffs: StencilCoeffs, chis, topology: GridTopology,
         scratch_shapes=[pltpu.VMEM((3, B, ny, nx), dtype)],
         interpret=interpret,
         # Same write-after-consume argument as the single-tracer carry
-        # kernel, batched.
-        input_output_aliases={7: 0},
+        # kernel, batched; fused-Euler only (see _apply_pallas_carry).
+        input_output_aliases={7: 0} if dt_static is not None else {},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
@@ -1031,7 +1037,8 @@ def _apply_pallas_blocked_multi(coeffs: StencilCoeffs, chis,
         out_shape=jax.ShapeDtypeStruct((B, nz, ny, nx), dtype),
         scratch_shapes=[pltpu.VMEM((3, B, by, nx), dtype)],
         interpret=interpret,
-        input_output_aliases={7: 0},
+        # Fused-Euler only (see _apply_pallas_carry).
+        input_output_aliases={7: 0} if dt_static is not None else {},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
