@@ -36,6 +36,8 @@ from .models.solvers import (
     ideal_age,
     implicit_euler_step,
     sequestration_time,
+    solve_shifted_multi,
+    water_mass_fractions,
 )
 from .models.transport import assemble_transport
 from .ops.assemble_pallas import assemble_T_pallas
@@ -121,6 +123,8 @@ __all__ = [
     "implicit_euler_step",
     "ideal_age",
     "sequestration_time",
+    "solve_shifted_multi",
+    "water_mass_fractions",
     "bolus_gm_velocity",
     "add_bolus_transports",
     "density_slopes",

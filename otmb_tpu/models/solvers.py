@@ -471,3 +471,179 @@ def sequestration_time(
         method=method, transpose=True, apply_impl=apply_impl, mesh=mesh,
     )
     return jnp.where(wet, gamma, jnp.nan), res
+
+
+def _bicgstab_matrix_free_multi(a_op, bs, M, tol, maxiter):
+    """B independent right-preconditioned BiCGStab solves in lockstep.
+
+    Each batch member carries its own Krylov scalars; the matvec is the
+    BATCHED operator application (the whole point: coefficient streams
+    shared across the batch, ops/stencil_pallas multi kernels). The loop
+    runs until every member meets its own tolerance; converged members
+    idle harmlessly (their alpha/omega collapse to ~0 through the
+    zero-division guards) and the final residuals are recomputed from
+    scratch by the caller."""
+    axes = tuple(range(1, bs.ndim))
+    dot = lambda u, v: jnp.sum(u * v, axis=axes)  # (B,); fields are real
+    bx = lambda s: s.reshape(s.shape + (1,) * (bs.ndim - 1))
+
+    atol2 = (tol ** 2) * dot(bs, bs)
+
+    x0 = jnp.zeros_like(bs)
+    state0 = (x0, bs, bs, bs, dot(bs, bs), jnp.asarray(0))
+    # state: (x, r, p, rhat0, rho, iters)
+
+    def cond(state):
+        _, r, *_, iters = state
+        return jnp.any(dot(r, r) > atol2) & (iters < maxiter)
+
+    def body(state):
+        x, r, p, rhat0, rho, iters = state
+        phat = M(p)
+        v = a_op(phat)
+        denom = dot(rhat0, v)
+        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        s = r - bx(alpha) * v
+        shat = M(s)
+        t = a_op(shat)
+        tt = dot(t, t)
+        omega = dot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x = x + bx(alpha) * phat + bx(omega) * shat
+        r = s - bx(omega) * t
+        rho_new = dot(rhat0, r)
+        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
+            alpha / jnp.where(omega == 0, 1.0, omega)
+        )
+        p = r + bx(beta) * (p - bx(omega) * v)
+        return (x, r, p, rhat0, rho_new, iters + 1)
+
+    x, *_ = jax.lax.while_loop(cond, body, state0)
+    return x
+
+
+@partial(jax.jit, static_argnames=("topology", "maxiter", "transpose",
+                                   "preconditioner", "apply_impl",
+                                   "interpret"))
+def solve_shifted_multi(
+    coeffs: StencilCoeffs,
+    bs,
+    topology: GridTopology,
+    shift=0.0,
+    extra_diag=None,
+    tol: float = 1e-10,
+    maxiter: int = 2000,
+    transpose: bool = False,
+    preconditioner: str = "tridiag",
+    apply_impl: str = "pallas",
+    interpret: bool | None = None,
+):
+    """Solve (shift*I + D_extra + T) x_b = b_b for a BATCH of right-hand
+    sides (bs is (B, nz, ny, nx)) in one lockstep BiCGStab.
+
+    All B solves share the same operator, so the matvec runs through the
+    batched Pallas kernel family (coefficient streams fetched once per k
+    level and shared across the batch — per-solve matvec traffic
+    2 + 7/B streams instead of 9) and the tridiagonal preconditioner is
+    vmapped over the batch. This is the natural engine for families of
+    steady states against one circulation: water-mass-fraction tracers,
+    dye releases from multiple regions, ensembles of boundary
+    conditions. Returns (xs, residuals) with residuals shape (B,),
+    recomputed from scratch.
+
+    `apply_impl="jnp"` uses the (natively batched) jnp apply instead —
+    the CPU/f64 validation path."""
+    from ..ops.apply import transpose_coeffs
+    from ..ops.stencil_pallas import (
+        _default_interpret,
+        apply_stencil_pallas_multi,
+    )
+
+    if interpret is None:
+        interpret = _default_interpret()
+    bs = jnp.asarray(bs)
+    if bs.ndim != 4:
+        raise ValueError(f"bs must be (B, nz, ny, nx); got {bs.shape}")
+    shift = jnp.asarray(shift, bs.dtype)
+    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+
+    apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
+
+    if apply_impl == "pallas":
+        def a_op(xs):
+            txs = apply_stencil_pallas_multi(
+                apply_coeffs, xs, topology, interpret
+            )
+            return shift * xs + extra * xs + txs
+    else:
+        def a_op(xs):
+            txs = apply_stencil(apply_coeffs, xs, topology)
+            return shift * xs + extra * xs + txs
+
+    shifted_diag = shift + extra + coeffs.diag
+    if preconditioner == "tridiag":
+        if transpose:
+            from ..grid.topology import neighbor_values as _nv
+
+            swapped = coeffs._replace(
+                top=_nv(coeffs.bottom, "top", topology, fill=0.0),
+                bottom=_nv(coeffs.top, "bottom", topology, fill=0.0),
+            )
+            M1 = _tridiag_preconditioner(swapped, shifted_diag)
+        else:
+            M1 = _tridiag_preconditioner(coeffs, shifted_diag)
+        M = jax.vmap(M1)
+    elif preconditioner == "jacobi":
+        M1 = _jacobi_preconditioner(shifted_diag)
+        M = M1  # elementwise; broadcasts over the batch
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
+
+    xs = _bicgstab_matrix_free_multi(a_op, bs, M, tol, maxiter)
+
+    axes = tuple(range(1, bs.ndim))
+    rnorm = jnp.sqrt(jnp.sum((a_op(xs) - bs) ** 2, axis=axes))
+    bnorm = jnp.sqrt(jnp.sum(bs ** 2, axis=axes))
+    res = rnorm / jnp.where(bnorm == 0, 1.0, bnorm)
+    return xs, res
+
+
+def water_mass_fractions(
+    coeffs: StencilCoeffs,
+    wet3d,
+    topology: GridTopology,
+    region_masks,
+    surface_rate: float = 1.0,
+    tol: float = 1e-8,
+    apply_impl: str = "pallas",
+    preconditioner: str = "tridiag",
+):
+    """Steady-state surface-origin water-mass fractions, one batched
+    solve for ALL regions.
+
+    For a partition of the surface into R regions, fraction r satisfies
+    the dye steady state (reference-style restoring, the same M as ideal
+    age, test/local_full.jl:155-168):
+
+        (T + M) f_r = M 1_region_r ,   M = surface_rate * 1_surface,
+
+    so f_r(cell) is the fraction of water at `cell` that last contacted
+    the surface inside region r. All R solves share T and run as ONE
+    lockstep batched Krylov (`solve_shifted_multi`). By linearity the
+    fractions of a surface partition sum to the solve with the summed
+    right-hand side (the all-surface dye); with T volume-conserving the
+    interior sum is ~1. Beyond the reference's workloads, but the
+    standard TMIP analysis this operator exists to serve.
+
+    `region_masks` is (R, ny, nx) boolean. Returns (fractions, residuals)
+    with fractions (R, nz, ny, nx), NaN on land."""
+    wet = jnp.asarray(wet3d, bool)
+    dtype = coeffs.diag.dtype
+    masks = jnp.asarray(region_masks, bool)
+    surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
+    surf = jnp.where(wet, surf, 0.0)
+    bs = jnp.where(wet[None] & masks[:, None, :, :], surf[None], 0.0)
+    fr, res = solve_shifted_multi(
+        coeffs, bs, topology, shift=0.0, extra_diag=surf, tol=tol,
+        apply_impl=apply_impl, preconditioner=preconditioner,
+    )
+    return jnp.where(wet[None], fr, jnp.nan), res

@@ -248,3 +248,99 @@ def test_sequestration_time_pallas_apply(ops, gridmetrics, indices):
     np.testing.assert_allclose(
         np.asarray(out)[wet], np.asarray(ref)[wet], rtol=1e-6, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_solve_shifted_multi_matches_per_rhs(ops, gridmetrics, indices,
+                                             transpose):
+    """Batched lockstep BiCGStab == per-RHS solve_shifted, forward and
+    transpose, for a batch of independent right-hand sides."""
+    from otmb_tpu.models.solvers import solve_shifted, solve_shifted_multi
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(19)
+    B = 3
+    bs = np.where(wet[None], rng.standard_normal((B,) + gridmetrics.shape),
+                  0.0)
+    xs, res = solve_shifted_multi(
+        ops.T, bs, topo, shift=1e-4, tol=1e-12, transpose=transpose,
+        apply_impl="jnp",
+    )
+    assert res.shape == (B,)
+    assert float(res.max()) < 1e-10
+    for b in range(B):
+        ref, rres = solve_shifted(
+            ops.T, bs[b], topo, shift=1e-4, tol=1e-12, transpose=transpose,
+        )
+        assert float(rres) < 1e-10
+        np.testing.assert_allclose(
+            np.asarray(xs[b]), np.asarray(ref), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_solve_shifted_multi_pallas_interpret(ops, gridmetrics, indices):
+    """The batched-Pallas matvec route (interpret mode on CPU) solves to
+    the same tolerance."""
+    from otmb_tpu.models.solvers import solve_shifted, solve_shifted_multi
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(23)
+    bs = np.where(wet[None], rng.standard_normal((2,) + gridmetrics.shape),
+                  0.0)
+    xs, res = solve_shifted_multi(
+        ops.T, bs, topo, shift=1e-4, tol=1e-12, apply_impl="pallas",
+    )
+    assert float(res.max()) < 1e-10
+    ref, _ = solve_shifted(ops.T, bs[0], topo, shift=1e-4, tol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(xs[0]), np.asarray(ref), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_water_mass_fractions_partition(ops, gridmetrics, indices):
+    """Fractions from a surface partition: each in [0, ~1], and by
+    linearity their sum equals the single all-surface dye solve."""
+    from otmb_tpu.models.solvers import (
+        solve_shifted,
+        water_mass_fractions,
+    )
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ny, nx = gridmetrics.shape[1:]
+    # three-band surface partition by longitude
+    i = np.arange(nx)
+    masks = np.stack([
+        np.broadcast_to(i < nx // 3, (ny, nx)),
+        np.broadcast_to((i >= nx // 3) & (i < 2 * nx // 3), (ny, nx)),
+        np.broadcast_to(i >= 2 * nx // 3, (ny, nx)),
+    ])
+    fr, res = water_mass_fractions(
+        ops.T, indices.wet3d, topo, masks, tol=1e-13, apply_impl="jnp"
+    )
+    assert float(res.max()) < 1e-11
+    frv = np.asarray(fr)[:, wet]
+    assert np.nanmin(frv) > -1e-6
+    # the upwind T's surface rows are not exactly divergence-free
+    # (evaporation/precipitation, matrixbuilding.jl:290), so dye steady
+    # states may overshoot 1 by that small imbalance
+    assert np.nanmax(frv) < 1.0 + 1e-4
+
+    # linearity: sum of fractions == all-surface dye solve
+    dtype = np.asarray(ops.T.diag).dtype
+    surf = np.zeros(wet.shape, dtype)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+    ref, rres = solve_shifted(
+        ops.T, surf, topo, shift=0.0, extra_diag=surf, tol=1e-13
+    )
+    assert float(rres) < 1e-11
+    # ||A^-1|| is the age scale (~1e9 s), so a 1e-13 relative residual
+    # still allows ~1e-4 absolute solution differences between
+    # independently converged Krylov runs; linearity holds to that.
+    np.testing.assert_allclose(
+        np.asarray(fr.sum(axis=0))[wet], np.asarray(ref)[wet],
+        rtol=1e-3, atol=1e-3,
+    )
