@@ -625,37 +625,6 @@ def main():
                 print(f"# 0.25-degree bf16 step unavailable: {e}",
                       file=sys.stderr)
 
-            # Full 0.25-degree ideal-age steady state: f32 BiCGStab with
-            # the j-blocked Pallas matvec + vertical-line preconditioner
-            # (no f64 refinement — f32 residual floor). The reference's
-            # headline workload needed ~3 min on a 4x-COARSENED 1-degree
-            # matrix; this is the uncoarsened quarter-degree grid.
-            try:
-                t0 = time.perf_counter()
-                gamma_q, res_q = otmb.ideal_age(
-                    qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="pallas"
-                )
-                rq = float(res_q)
-                t_warm = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                gamma_q, res_q = otmb.ideal_age(
-                    qcoeffs, qwet, qtopo, tol=1e-4,
-                    surface_rate=np.float32(1.001), apply_impl="pallas",
-                )
-                rq = float(res_q)
-                tq_age = time.perf_counter() - t0
-                mean_q = float(jnp.nanmean(gamma_q)) / (86400 * 365.25)
-                print(
-                    f"# 0.25-degree ideal-age steady state (f32 Krylov, "
-                    f"j-blocked matvec): {tq_age:.1f} s "
-                    f"(first call incl. compile {t_warm:.1f} s), rel "
-                    f"residual {rq:.1e}, mean age {mean_q:.1f} yr",
-                    file=sys.stderr,
-                )
-                gamma_q = None
-            except Exception as e:
-                print(f"# 0.25-degree ideal-age unavailable: {e}",
-                      file=sys.stderr)
             qcoeffs = None  # assembly chain rebuilds the operator itself
 
             @partial(jax.jit, static_argnums=4)
@@ -687,6 +656,48 @@ def main():
                 f"f32 step {qt_step*1e3:.2f} ms ({1/qt_step:.0f} steps/s)",
                 file=sys.stderr,
             )
+
+            # Full 0.25-degree ideal-age steady state: f32 BiCGStab with
+            # the XLA-fused jnp matvec + vertical-line preconditioner (no
+            # f64 refinement — f32 residual floor). The j-blocked Pallas
+            # matvec is NOT used inside this while_loop: that combination
+            # has crashed/hung the TPU worker at this scale (see
+            # stencil_pallas aliasing notes); the jnp matvec costs ~1.5x
+            # per iteration and is reliable. The reference's headline
+            # workload needed ~3 min on a 4x-COARSENED 1-degree matrix;
+            # this is the uncoarsened quarter-degree grid. Runs LAST in
+            # this section: a TPU-worker fault here must not cost the
+            # lines above.
+            try:
+                qcoeffs = jax.jit(
+                    lambda g, w, u, v, m: assemble_transport(u, v, m, g, w).T
+                )(qgm, qwet, qumo, qvmo, qml)
+                jax.block_until_ready(qcoeffs)
+                t0 = time.perf_counter()
+                gamma_q, res_q = otmb.ideal_age(
+                    qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="jnp"
+                )
+                rq = float(res_q)
+                t_warm = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                gamma_q, res_q = otmb.ideal_age(
+                    qcoeffs, qwet, qtopo, tol=1e-4,
+                    surface_rate=np.float32(1.001), apply_impl="jnp",
+                )
+                rq = float(res_q)
+                tq_age = time.perf_counter() - t0
+                mean_q = float(jnp.nanmean(gamma_q)) / (86400 * 365.25)
+                print(
+                    f"# 0.25-degree ideal-age steady state (f32 Krylov, "
+                    f"jnp matvec): {tq_age:.1f} s "
+                    f"(first call incl. compile {t_warm:.1f} s), rel "
+                    f"residual {rq:.1e}, mean age {mean_q:.1f} yr",
+                    file=sys.stderr,
+                )
+                gamma_q = qcoeffs = None
+            except Exception as e:
+                print(f"# 0.25-degree ideal-age unavailable: {e}",
+                      file=sys.stderr)
         except Exception as e:
             print(f"# 0.25-degree diagnostics unavailable: {e}",
                   file=sys.stderr)

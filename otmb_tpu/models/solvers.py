@@ -195,6 +195,23 @@ def solve_shifted(
         )
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
     if apply_impl == "pallas":
+        from ..ops.stencil_pallas import _default_interpret, _resolve_variant
+
+        if (not _default_interpret() and _resolve_variant(
+                "auto", topology, b.dtype.itemsize) == "blocked"):
+            # The j-blocked kernel inside lax.while_loop crashes/hangs the
+            # TPU worker at 0.25-degree scale (observed on v5e, with and
+            # without buffer aliasing); the XLA-fused jnp matvec costs
+            # ~1.5x per iteration and is reliable there.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "apply_impl='pallas' would use the j-blocked kernel inside "
+                "a while_loop, which is unstable at this grid size on TPU; "
+                "falling back to the jnp matvec"
+            )
+            apply_impl = "jnp"
+    if apply_impl == "pallas":
         if method != "bicgstab":
             raise ValueError(
                 "apply_impl='pallas' requires method='bicgstab' (jax.scipy "
@@ -567,6 +584,25 @@ def solve_shifted_multi(
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
 
     apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
+
+    if apply_impl == "pallas" and not interpret:
+        from ..ops.stencil_pallas import _multi_vmem_ok, _resolve_variant
+
+        if (not _multi_vmem_ok(bs.shape[0], topology, bs.dtype.itemsize)
+                or _resolve_variant("auto", topology,
+                                    bs.dtype.itemsize) == "blocked"):
+            # Same while_loop instability as solve_shifted: blocked
+            # kernels inside the Krylov loop are unreliable on TPU at
+            # scale-out grid sizes — use the (natively batched) jnp
+            # matvec there.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "solve_shifted_multi: batched Pallas matvec would need a "
+                "j-blocked kernel inside the Krylov while_loop (unstable "
+                "at this grid size on TPU); falling back to the jnp matvec"
+            )
+            apply_impl = "jnp"
 
     if apply_impl == "pallas":
         def a_op(xs):

@@ -207,10 +207,12 @@ def _apply_pallas_carry(coeffs: StencilCoeffs, chi, topology: GridTopology,
         # In a propagation loop this lets XLA alias the loop carry through
         # the kernel instead of round-tripping a full-array copy per step.
         # Fused-Euler only: in the plain apply (dt=None) callers keep
-        # using chi (e.g. the Krylov a_op adds shift*x), and the aliased
-        # custom call under a while_loop has crashed the TPU worker at
-        # 0.25-degree scale — the protection copy XLA must insert is not
-        # reliable there, so the apply path stays alias-free.
+        # using chi (e.g. the Krylov a_op adds shift*x), so the alias
+        # would force XLA protection copies with no gain; keep the apply
+        # path alias-free. (An unrelated instability: the j-BLOCKED
+        # kernel inside a lax.while_loop crashes/hangs the TPU worker at
+        # 0.25-degree scale with or without aliasing — Krylov solves at
+        # that scale must use the jnp matvec; see solve_shifted.)
         input_output_aliases={7: 0} if dt_static is not None else {},
         cost_estimate=pl.CostEstimate(
             flops=15 * nz * ny * nx,
