@@ -204,3 +204,53 @@ def test_kappa_calibration_gradient(case):
     fd = (float(loss(jnp.asarray(k0 + eps))) -
           float(loss(jnp.asarray(k0 - eps)))) / (2 * eps)
     assert abs(g - fd) <= 2e-3 * max(abs(fd), abs(g)), (g, fd)
+
+
+def test_solve_adjoint_through_sharded_solver(case):
+    """differentiable_solve composed with the sharded halo-Pallas Krylov
+    loop (mesh=): forward and adjoint both run the shard_map solver; the
+    gradients must match the single-device ones."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    from otmb_tpu.parallel.mesh import make_grid_mesh, shard_pytree, sharding_for
+
+    _, _, idx, ops, topo, chi, w = case
+    mesh = make_grid_mesh(_jax.devices()[:8])
+    wet = np.asarray(idx.wet3d)
+    b = np.where(wet, 1.0, 0.0)
+
+    solve_single = differentiable_solve(topo, tol=1e-13)
+    solve_sharded = differentiable_solve(
+        topo, tol=1e-13, apply_impl="pallas", mesh=mesh
+    )
+
+    def loss(solve, coeffs, b_):
+        return jnp.sum(w * solve(coeffs, b_, 1e-5, None))
+
+    g_ref = jax.grad(lambda c, b_: loss(solve_single, c, b_), argnums=(0, 1))(
+        ops.T, jnp.asarray(b)
+    )
+    coeffs_sh = shard_pytree(mesh, ops.T)
+    b_sh = jax.device_put(b, sharding_for(mesh, b))
+    g_sh = jax.grad(lambda c, b_: loss(solve_sharded, c, b_), argnums=(0, 1))(
+        coeffs_sh, b_sh
+    )
+    # every solve output (z = the b-gradient, and x inside the coefficient
+    # cotangents) carries the age-scale conditioning (||A^-1|| ~ 1e9 s),
+    # so two independently converged Krylov runs agree only to ~1e-3 of
+    # each array's scale
+    gb_ref = np.asarray(g_ref[1])
+    gb_scale = max(float(np.abs(gb_ref).max()), 1e-30)
+    np.testing.assert_allclose(
+        np.asarray(g_sh[1]) / gb_scale, gb_ref / gb_scale,
+        rtol=1e-3, atol=5e-4,
+    )
+    for leg, a, r in zip(g_sh[0]._fields, g_sh[0], g_ref[0]):
+        ref_arr = np.asarray(r)
+        scale = max(float(np.abs(ref_arr).max()), 1e-30)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, ref_arr / scale, rtol=1e-3, atol=5e-4,
+            err_msg=f"sharded coeff gradient mismatch on {leg}",
+        )
