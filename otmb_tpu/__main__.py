@@ -4,6 +4,8 @@
     python -m otmb_tpu build  in.npz  op.npz     # raw fields -> operator
     python -m otmb_tpu diagnose op.npz           # conservation/sign report
     python -m otmb_tpu idealage op.npz age.npz   # steady ideal-age solve
+    python -m otmb_tpu fractions op.npz f.npz --bands 3
+                                                 # water-mass fractions
 
 `in.npz` carries the canonical-layout arrays: areacello (ny,nx), volcello
 (nz,ny,nx), lon, lat (ny,nx), lev (nz,), lon_vertices, lat_vertices
@@ -110,6 +112,33 @@ def cmd_idealage(args) -> int:
     return 0 if float(res) < 1e-6 else 1
 
 
+def cmd_fractions(args) -> int:
+    """Surface-origin water-mass fractions for latitude bands, solved as
+    one batched lockstep Krylov (models/solvers.water_mass_fractions)."""
+    from otmb_tpu.models.solvers import water_mass_fractions
+    from otmb_tpu.utils.checkpoint import save_state
+
+    coeffs, topo, v3d, wet = _load_op(args.operator)
+    ny, nx = topo.shape3d[1:]
+    edges = np.linspace(0, ny, args.bands + 1).astype(int)
+    j = np.arange(ny)[:, None]
+    masks = np.stack([
+        np.broadcast_to((j >= lo) & (j < hi), (ny, nx))
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ])
+    fr, res = water_mass_fractions(coeffs, wet, topo, masks, tol=args.tol)
+    fr = np.asarray(fr)
+    v = np.nan_to_num(np.asarray(v3d))
+    for r in range(args.bands):
+        share = float((np.nan_to_num(fr[r]) * v).sum() / v.sum())
+        print(f"band {r} (rows {edges[r]}..{edges[r+1]-1}): "
+              f"{100*share:5.1f} % of ocean volume, "
+              f"residual {float(res[r]):.1e}")
+    save_state(args.output, fractions=fr, band_edges=np.asarray(edges))
+    print(f"saved -> {args.output}")
+    return 0 if float(np.asarray(res).max()) < 1e-6 else 1
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="otmb_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -142,6 +171,17 @@ def main(argv=None) -> int:
                    help="inner matvec: jnp (GSPMD-shardable) or the fused "
                         "Pallas kernel (fastest single-chip)")
     p.set_defaults(fn=cmd_idealage)
+
+    p = sub.add_parser("fractions",
+                       help="surface-origin water-mass fractions "
+                            "(batched solve)")
+    p.add_argument("operator")
+    p.add_argument("output")
+    p.add_argument("--bands", type=int, default=3,
+                   help="number of equal latitude bands partitioning the "
+                        "surface")
+    p.add_argument("--tol", type=float, default=1e-8)
+    p.set_defaults(fn=cmd_fractions)
 
     args = parser.parse_args(argv)
     return args.fn(args)
