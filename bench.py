@@ -657,39 +657,51 @@ def main():
                 file=sys.stderr,
             )
 
-            # Full 0.25-degree ideal-age steady state: f32 BiCGStab with
-            # the XLA-fused jnp matvec + vertical-line preconditioner (no
-            # f64 refinement — f32 residual floor). The j-blocked Pallas
-            # matvec is NOT used inside this while_loop: that combination
-            # has crashed/hung the TPU worker at this scale (see
-            # stencil_pallas aliasing notes); the jnp matvec costs ~1.5x
-            # per iteration and is reliable. The reference's headline
-            # workload needed ~3 min on a 4x-COARSENED 1-degree matrix;
-            # this is the uncoarsened quarter-degree grid. Runs LAST in
-            # this section: a TPU-worker fault here must not cost the
-            # lines above.
+            # Full 0.25-degree ideal-age steady state: f32 BiCGStab (no
+            # f64 refinement — f32 residual floor). apply_impl='pallas'
+            # routes through the host-CHUNKED Krylov here (fori_loop
+            # chunks of the j-blocked matvec; while_loop + blocked kernels
+            # crash this TPU runtime), with a jnp-matvec retry if the
+            # chunked path faults. The reference's headline workload
+            # needed ~3 min on a 4x-COARSENED 1-degree matrix; this is
+            # the uncoarsened quarter-degree grid. Runs LAST in this
+            # section: a TPU-worker fault here must not cost the lines
+            # above.
             try:
                 qcoeffs = jax.jit(
                     lambda g, w, u, v, m: assemble_transport(u, v, m, g, w).T
                 )(qgm, qwet, qumo, qvmo, qml)
                 jax.block_until_ready(qcoeffs)
+                impl_used = "pallas (chunked)"
                 t0 = time.perf_counter()
-                gamma_q, res_q = otmb.ideal_age(
-                    qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="jnp"
-                )
-                rq = float(res_q)
+                try:
+                    gamma_q, res_q = otmb.ideal_age(
+                        qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="pallas"
+                    )
+                    rq = float(res_q)
+                except Exception as e:
+                    print(f"# 0.25-degree chunked-pallas age failed "
+                          f"({type(e).__name__}); retrying with jnp matvec",
+                          file=sys.stderr)
+                    impl_used = "jnp"
+                    t0 = time.perf_counter()
+                    gamma_q, res_q = otmb.ideal_age(
+                        qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="jnp"
+                    )
+                    rq = float(res_q)
                 t_warm = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 gamma_q, res_q = otmb.ideal_age(
                     qcoeffs, qwet, qtopo, tol=1e-4,
-                    surface_rate=np.float32(1.001), apply_impl="jnp",
+                    surface_rate=np.float32(1.001),
+                    apply_impl="pallas" if "pallas" in impl_used else "jnp",
                 )
                 rq = float(res_q)
                 tq_age = time.perf_counter() - t0
                 mean_q = float(jnp.nanmean(gamma_q)) / (86400 * 365.25)
                 print(
                     f"# 0.25-degree ideal-age steady state (f32 Krylov, "
-                    f"jnp matvec): {tq_age:.1f} s "
+                    f"{impl_used} matvec): {tq_age:.1f} s "
                     f"(first call incl. compile {t_warm:.1f} s), rel "
                     f"residual {rq:.1e}, mean age {mean_q:.1f} yr",
                     file=sys.stderr,
