@@ -756,20 +756,27 @@ def solve_shifted_chunked(
         if transpose:
             from ..grid.topology import neighbor_values as _nv
 
-            swapped = coeffs._replace(
+            m_coeffs = coeffs._replace(
                 top=_nv(coeffs.bottom, "top", topology, fill=0.0),
                 bottom=_nv(coeffs.top, "bottom", topology, fill=0.0),
             )
-            M = _tridiag_preconditioner(swapped, shifted_diag)
         else:
-            M = _tridiag_preconditioner(coeffs, shifted_diag)
+            m_coeffs = coeffs
     elif preconditioner == "jacobi":
-        M = _jacobi_preconditioner(shifted_diag)
+        m_coeffs = coeffs  # unused by the Jacobi M; threaded for symmetry
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
+    # Every device array is a jit ARGUMENT: closing over the multi-GB
+    # coefficient/preconditioner fields would bake them into the lowered
+    # program as constants and ship them through the (remote) compiler.
     @_partial(jax.jit, static_argnames=("nsteps",))
-    def run_chunk(c_l, shift_l, extra_l, state, nsteps: int):
+    def run_chunk(c_l, mc_l, md_l, shift_l, extra_l, state, nsteps: int):
+        if preconditioner == "tridiag":
+            M = _tridiag_preconditioner(mc_l, md_l)
+        else:
+            M = _jacobi_preconditioner(md_l)
+
         def a_op(x):
             return (shift_l * x + extra_l * x
                     + apply_stencil_pallas(c_l, x, topology, interpret))
@@ -805,7 +812,8 @@ def solve_shifted_chunked(
     iters = 0
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
-        state, rnorm2 = run_chunk(apply_coeffs, shift, extra, state, nsteps)
+        state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
+                                  shift, extra, state, nsteps)
         iters += nsteps
         if float(rnorm2) <= atol2:
             break
