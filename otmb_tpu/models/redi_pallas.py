@@ -17,8 +17,10 @@ step:
        is now known;
     4. rotate fresh values into the VMEM carries.
 
-HBM traffic: 19 slab streams per cell (16 coefficient arrays + chi x3 +
-out) — ~2.3x less than the jnp pipeline's measured traffic. Tripolar
+HBM traffic: 17 slab streams per cell (15 coefficient arrays + chi + out;
+chi is fetched ONCE — the kp and kp+1 slabs are carried in VMEM scratch,
+only the kp-1 slab streams in each step) — ~2.6x less than the jnp
+pipeline's measured traffic. Tripolar
 seam: the fold row of chi is precomputed outside the kernel and streamed
 in (Mosaic has no lane reversal); the carried dcz seam row multiplies
 s_n == 0 (cross term disabled on seam faces, models/redi.py) so a dead
@@ -40,13 +42,13 @@ from .redi import RediOperator
 
 
 def _redi_kernel(
-    chi_c_ref, chi_u_ref, chi_d_ref,
+    chi_init_ref, chi_u_ref,
     ae_ref, se_ref, an_ref, sn_ref,
     czu_ref, czd_ref, cxe_ref, cxw_ref, cyn_ref, cys_ref,
     at1_ref, sti1_ref, stj1_ref, gt1_ref, invv1_ref,
     invde_ref, invdn_ref, seam_ref,
     out_ref,
-    fe_s, fn_s, dcx_s, dcy_s, ft_s,
+    fe_s, fn_s, dcx_s, dcy_s, ft_s, chic_s, chid_s,
     *,
     ny: int,
 ):
@@ -61,9 +63,17 @@ def _redi_kernel(
     dcy_prev = dcy_s[...]
     ft_prev = ft_s[...]
 
-    chi = chi_c_ref[0]
+    # chi slabs: only kp-1 is fetched from HBM each step; kp and kp+1 are
+    # carried in VMEM (kp = the previous step's fetch, kp+1 = the previous
+    # step's center). At s == 0 both scratches are uninitialized: the
+    # center comes from the one-shot chi_init fetch (slab nz-1), and the
+    # down slab equals the center (kp+1 index is clipped to nz-1 at the
+    # floor) — the elementwise where never consumes the garbage lanes.
+    chi_first = chi_init_ref[0]
+    is0 = (s == 0)
+    chi = jnp.where(is0, chi_first, chic_s[...])
     chi_u = chi_u_ref[0]  # slab kp-1 (clipped at the surface; cz_u == 0)
-    chi_d = chi_d_ref[0]  # slab kp+1 (clipped at the floor; cz_d == 0)
+    chi_d = jnp.where(is0, chi_first, chid_s[...])  # slab kp+1
     nx = chi.shape[1]
 
     chi_e = pltpu.roll(chi, np.int32(nx - 1), 1)
@@ -113,6 +123,8 @@ def _redi_kernel(
     dcx_s[...] = dcx
     dcy_s[...] = dcy
     ft_s[...] = ft_new
+    chid_s[...] = chi
+    chic_s[...] = chi_u
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -137,6 +149,9 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
     const2d = lambda s: (0, 0, 0)
+    # Deepest slab, fetched once (the index map never changes, so the
+    # pipeline re-uses the resident block instead of re-copying).
+    deepest = lambda s: (nz - 1, 0, 0)
 
     kernel = functools.partial(_redi_kernel, ny=ny)
     f = lambda a: a.astype(dtype)
@@ -145,7 +160,7 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
         kernel,
         grid=(nz + 1,),
         in_specs=(
-            [spec(kp), spec(kp_up), spec(kp1)]          # chi c/u/d
+            [spec(deepest), spec(kp_up)]                 # chi init + up stream
             + [spec(kp)] * 10                            # ae..cy_s at kp
             + [spec(kp1)] * 5                            # at,s_ti,s_tj,g_t,inv_v at kp+1
             + [spec(const2d), spec(const2d)]             # inv_de, inv_dn
@@ -153,18 +168,18 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
         ),
         out_specs=spec(kp1),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
-        scratch_shapes=[pltpu.VMEM((ny, nx), dtype)] * 5,
+        scratch_shapes=[pltpu.VMEM((ny, nx), dtype)] * 7,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=60 * nz * ny * nx,
-            bytes_accessed=19 * nz * ny * nx * dtype.itemsize,
+            bytes_accessed=17 * nz * ny * nx * dtype.itemsize,
             transcendentals=0,
         ),
     )(
-        chi, chi, chi,
+        chi, chi,
         f(op.ae), f(op.s_e), f(op.an), f(op.s_n),
         f(op.cz_u), f(op.cz_d), f(op.cx_e), f(op.cx_w), f(op.cy_n), f(op.cy_s),
         f(op.at), f(op.s_ti), f(op.s_tj), f(op.g_t), f(op.inv_v),
@@ -174,14 +189,14 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
 
 
 def _redi_kernel_blocked(
-    chi_c_ref, chi_u_ref, chi_d_ref,
+    chi_init_ref, chi_u_ref,
     ae_ref, se_ref, an_ref, sn_ref,
     czu_ref, czd_ref, cxe_ref, cxw_ref, cyn_ref, cys_ref,
     at1_ref, sti1_ref, stj1_ref, gt1_ref, invv1_ref,
     invde_ref, invdn_ref,
     chin_ref, chis_ref, dczn_ref, fns_ref,
     out_ref,
-    fe_s, fn_s, dcx_s, dcy_s, ft_s,
+    fe_s, fn_s, dcx_s, dcy_s, ft_s, chic_s, chid_s,
     *,
     by: int,
 ):
@@ -190,7 +205,10 @@ def _redi_kernel_blocked(
     rows just outside the block, the dcz row above (the cross term is
     live at interior block edges), and the f_n row below (needed by the
     divergence's south shift) — arrive as tiny (1, nx) side streams
-    pre-gathered outside the kernel."""
+    pre-gathered outside the kernel. chi kp/kp+1 blocks are carried in
+    VMEM exactly as in the full-slab kernel; s == 0 (once per j-block —
+    s is the fast grid axis) re-seeds the carry from the one-shot
+    deepest-slab fetch."""
     s = pl.program_id(1)
 
     fe_prev = fe_s[...]
@@ -199,9 +217,11 @@ def _redi_kernel_blocked(
     dcy_prev = dcy_s[...]
     ft_prev = ft_s[...]
 
-    chi = chi_c_ref[0]
+    chi_first = chi_init_ref[0]
+    is0 = (s == 0)
+    chi = jnp.where(is0, chi_first, chic_s[...])
     chi_u = chi_u_ref[0]
-    chi_d = chi_d_ref[0]
+    chi_d = jnp.where(is0, chi_first, chid_s[...])
     nx = chi.shape[1]
 
     chi_e = pltpu.roll(chi, np.int32(nx - 1), 1)
@@ -241,6 +261,8 @@ def _redi_kernel_blocked(
     dcx_s[...] = dcx
     dcy_s[...] = dcy
     ft_s[...] = ft_new
+    chid_s[...] = chi
+    chic_s[...] = chi_u
 
 
 def _rows_dcz(op: RediOperator, chi, rows):
@@ -295,6 +317,7 @@ def _redi_pallas_blocked(op: RediOperator, chi, interpret: bool,
     kp_i = lambda jb, s: (jnp.clip(nz - 1 - s, 0, nz - 1), jb, 0)
     kp_up_i = lambda jb, s: (jnp.clip(nz - 2 - s, 0, nz - 1), jb, 0)
     kp1_i = lambda jb, s: (jnp.clip(nz - s, 0, nz - 1), jb, 0)
+    deepest_i = lambda jb, s: (nz - 1, jb, 0)  # one fetch per j-block
     row_kp = lambda jb, s: (jnp.clip(nz - 1 - s, 0, nz - 1) * nb + jb, 0, 0)
     row_kp1 = lambda jb, s: (jnp.clip(nz - s, 0, nz - 1) * nb + jb, 0, 0)
     const2d = lambda jb, s: (0, jb, 0)
@@ -309,7 +332,7 @@ def _redi_pallas_blocked(op: RediOperator, chi, interpret: bool,
         kernel,
         grid=(nb, nz + 1),
         in_specs=(
-            [spec(kp_i), spec(kp_up_i), spec(kp1_i)]
+            [spec(deepest_i), spec(kp_up_i)]
             + [spec(kp_i)] * 10
             + [spec(kp1_i)] * 5
             + [spec(const2d), spec(const2d)]
@@ -319,18 +342,18 @@ def _redi_pallas_blocked(op: RediOperator, chi, interpret: bool,
         ),
         out_specs=spec(kp1_i),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dtype),
-        scratch_shapes=[pltpu.VMEM((by, nx), dtype)] * 5,
+        scratch_shapes=[pltpu.VMEM((by, nx), dtype)] * 7,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=60 * nz * ny * nx,
-            bytes_accessed=19 * nz * ny * nx * dtype.itemsize,
+            bytes_accessed=17 * nz * ny * nx * dtype.itemsize,
             transcendentals=0,
         ),
     )(
-        chi, chi, chi,
+        chi, chi,
         f(op.ae), f(op.s_e), f(op.an), f(op.s_n),
         f(op.cz_u), f(op.cz_d), f(op.cx_e), f(op.cx_w), f(op.cy_n), f(op.cy_s),
         f(op.at), f(op.s_ti), f(op.s_tj), f(op.g_t), f(op.inv_v),

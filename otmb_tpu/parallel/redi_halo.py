@@ -47,7 +47,7 @@ from .mesh import field_pspec
 
 
 def _redi_kernel_shard(
-    chi_c_ref, chi_u_ref, chi_d_ref,
+    chi_init_ref, chi_u_ref,
     ae_ref, se_ref, an_ref, sn_ref,
     czu_ref, czd_ref, cxe_ref, cxw_ref, cyn_ref, cys_ref,
     at1_ref, sti1_ref, stj1_ref, gt1_ref, invv1_ref,
@@ -55,7 +55,7 @@ def _redi_kernel_shard(
     chie_ref, chiw_ref, chin_ref, chis_ref,
     dcze_ref, dczn_ref, few_ref, fns_ref,
     out_ref,
-    fe_s, fn_s, dcx_s, dcy_s, ft_s,
+    fe_s, fn_s, dcx_s, dcy_s, ft_s, chic_s, chid_s,
     *,
     ny: int,
 ):
@@ -67,9 +67,13 @@ def _redi_kernel_shard(
     dcy_prev = dcy_s[...]
     ft_prev = ft_s[...]
 
-    chi = chi_c_ref[0]
+    # chi kp/kp+1 carried in VMEM (seeded from the one-shot deepest-slab
+    # fetch at s == 0); only the kp-1 slab streams from HBM each step.
+    chi_first = chi_init_ref[0]
+    is0 = (s == 0)
+    chi = jnp.where(is0, chi_first, chic_s[...])
     chi_u = chi_u_ref[0]
-    chi_d = chi_d_ref[0]
+    chi_d = jnp.where(is0, chi_first, chid_s[...])
     nx = chi.shape[1]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
@@ -115,6 +119,8 @@ def _redi_kernel_shard(
     dcx_s[...] = dcx
     dcy_s[...] = dcy
     ft_s[...] = ft_new
+    chid_s[...] = chi
+    chic_s[...] = chi_u
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -132,6 +138,7 @@ def _local_redi_pallas(op_local, chi, halos, interpret: bool):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
     const2d = lambda s: (0, 0, 0)
+    deepest = lambda s: (nz - 1, 0, 0)  # fetched once
     col_kp = spec(kp, (1, ny_l, 1))
     row_kp = spec(kp, (1, 1, nx_l))
 
@@ -142,7 +149,7 @@ def _local_redi_pallas(op_local, chi, halos, interpret: bool):
         kernel,
         grid=(nz + 1,),
         in_specs=(
-            [spec(kp), spec(kp_up), spec(kp1)]
+            [spec(deepest), spec(kp_up)]
             + [spec(kp)] * 10
             + [spec(kp1)] * 5
             + [spec(const2d), spec(const2d)]
@@ -152,18 +159,18 @@ def _local_redi_pallas(op_local, chi, halos, interpret: bool):
         ),
         out_specs=spec(kp1),
         out_shape=jax.ShapeDtypeStruct((nz, ny_l, nx_l), dtype),
-        scratch_shapes=[pltpu.VMEM((ny_l, nx_l), dtype)] * 5,
+        scratch_shapes=[pltpu.VMEM((ny_l, nx_l), dtype)] * 7,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=60 * nz * ny_l * nx_l,
-            bytes_accessed=19 * nz * ny_l * nx_l * dtype.itemsize,
+            bytes_accessed=17 * nz * ny_l * nx_l * dtype.itemsize,
             transcendentals=0,
         ),
     )(
-        chi, chi, chi,
+        chi, chi,
         f(op_local.ae), f(op_local.s_e), f(op_local.an), f(op_local.s_n),
         f(op_local.cz_u), f(op_local.cz_d), f(op_local.cx_e), f(op_local.cx_w),
         f(op_local.cy_n), f(op_local.cy_s),
