@@ -360,6 +360,29 @@ def main():
             file=sys.stderr,
         )
 
+        # Batched multi-tracer Redi: the 15 coefficient slabs are shared
+        # across the batch (per-tracer traffic 2 + 15/B streams vs 17).
+        from otmb_tpu.models.redi_pallas import redi_apply_pallas_multi
+
+        B_redi = 8
+        chis_r = jnp.broadcast_to(chi0, (B_redi,) + chi0.shape) * (
+            1.0 + 0.01 * jnp.arange(B_redi, dtype=jnp.float32)[
+                :, None, None, None]
+        )
+        jax.block_until_ready(chis_r)
+        t_redi_m = chain_time(
+            lambda c, op_: c + dt * redi_apply_pallas_multi(op_, c),
+            chis_r, redi_op, max(nsteps // 8, 5),
+        )
+        print(
+            f"# pallas redi multi-tracer step (B={B_redi}, in-loop): "
+            f"{t_redi_m*1e6:.0f} us = {t_redi_m/B_redi*1e6:.0f} us/tracer "
+            f"({B_redi/t_redi_m:.0f} tracer-steps/s, "
+            f"{t_redi*B_redi/t_redi_m:.1f}x the single-tracer step)",
+            file=sys.stderr,
+        )
+        chis_r = None
+
     # Assembly: the fused Pallas assembly kernel (assemble_T_pallas
     # dispatches to the full-slab kernel at 1 degree and to the j-blocked
     # kernel at 0.25-degree scale, where the slab set exceeds VMEM).

@@ -24,7 +24,7 @@ from .models.transport import (
     transportmatrix,
 )
 from .models.redi import RediOperator, build_redi_operator, redi_apply
-from .models.redi_pallas import redi_apply_pallas
+from .models.redi_pallas import redi_apply_pallas, redi_apply_pallas_multi
 from .models.redigm import (
     add_bolus_transports,
     bolus_gm_velocity,
@@ -133,6 +133,7 @@ __all__ = [
     "build_redi_operator",
     "redi_apply",
     "redi_apply_pallas",
+    "redi_apply_pallas_multi",
     "ideal_age_coarsened",
     "lump_and_spray",
     "coeffs_to_scipy",

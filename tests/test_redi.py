@@ -156,3 +156,50 @@ def test_pallas_redi_blocked_matches_jnp(redi_op, gridmetrics, indices):
             redi_apply_pallas(redi_op, chi, interpret=True, by_static=by)
         )
         np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_pallas_redi_multi_matches_single(redi_op, gridmetrics, indices):
+    """The batched multi-tracer Redi kernel reproduces the single-tracer
+    kernel per batch member (coefficient slabs broadcast across B)."""
+    from otmb_tpu.models.redi_pallas import (
+        redi_apply_pallas,
+        redi_apply_pallas_multi,
+    )
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(14)
+    B = 3
+    chis = np.where(
+        wet[None], 1.0 + rng.standard_normal((B,) + wet.shape), 0.0
+    )
+
+    got = np.asarray(redi_apply_pallas_multi(redi_op, chis, interpret=True))
+    assert got.shape == chis.shape
+    for b in range(B):
+        ref = np.asarray(redi_apply_pallas(redi_op, chis[b], interpret=True))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            got[b], ref, rtol=1e-12, atol=1e-12 * scale
+        )
+
+
+def test_pallas_redi_multi_fallback_scan(redi_op, indices):
+    """When the batched working set exceeds VMEM the entry point scans the
+    single-tracer kernel — outputs must agree exactly with direct calls."""
+    from otmb_tpu.models import redi_pallas as rp
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(15)
+    chis = np.where(wet[None], rng.standard_normal((2,) + wet.shape), 0.0)
+
+    orig = rp._redi_multi_vmem_ok
+    rp._redi_multi_vmem_ok = lambda *a: False
+    try:
+        got = np.asarray(rp.redi_apply_pallas_multi(redi_op, chis,
+                                                    interpret=True))
+    finally:
+        rp._redi_multi_vmem_ok = orig
+    for b in range(2):
+        ref = np.asarray(rp.redi_apply_pallas(redi_op, chis[b],
+                                              interpret=True))
+        np.testing.assert_array_equal(got[b], ref)
