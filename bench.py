@@ -360,6 +360,22 @@ def main():
             file=sys.stderr,
         )
 
+        # bf16 coefficient streams (kernel upcasts in-register, f32 math)
+        from otmb_tpu.models.redi import redi_operator_to_bf16
+
+        redi_op_bf16 = redi_operator_to_bf16(redi_op)
+        jax.block_until_ready(redi_op_bf16)
+        t_redi_b = chain_time(
+            lambda c, op_: c + dt * redi_apply_pallas(op_, c), chi0,
+            redi_op_bf16, max(nsteps // 4, 10),
+        )
+        print(
+            f"# pallas redi step (bf16 coefs, in-loop): "
+            f"{t_redi_b*1e6:.0f} us ({1/t_redi_b:.0f} steps/s)",
+            file=sys.stderr,
+        )
+        redi_op_bf16 = None
+
         # Batched multi-tracer Redi: the 15 coefficient slabs are shared
         # across the batch (per-tracer traffic 2 + 15/B streams vs 17).
         from otmb_tpu.models.redi_pallas import redi_apply_pallas_multi

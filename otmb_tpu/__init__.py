@@ -23,7 +23,12 @@ from .models.transport import (
     buildTkVML,
     transportmatrix,
 )
-from .models.redi import RediOperator, build_redi_operator, redi_apply
+from .models.redi import (
+    RediOperator,
+    build_redi_operator,
+    redi_apply,
+    redi_operator_to_bf16,
+)
 from .models.redi_pallas import redi_apply_pallas, redi_apply_pallas_multi
 from .models.redigm import (
     add_bolus_transports,
@@ -132,6 +137,7 @@ __all__ = [
     "RediOperator",
     "build_redi_operator",
     "redi_apply",
+    "redi_operator_to_bf16",
     "redi_apply_pallas",
     "redi_apply_pallas_multi",
     "ideal_age_coarsened",

@@ -241,3 +241,26 @@ def redi_apply(op: RediOperator, chi):
     return op.inv_v * (
         f_e - nb(f_e, "west") + f_n - nb(f_n, "south") + f_t - nb(f_t, "bottom")
     )
+
+
+#: the 17 per-face/per-cell coefficient arrays of the operator (wet and
+#: topology are not numeric streams and keep their types).
+_COEF_FIELDS = (
+    "ae", "s_e", "an", "s_n", "at", "s_ti", "s_tj", "g_t",
+    "cz_u", "cz_d", "cx_e", "cx_w", "cy_n", "cy_s",
+    "inv_de", "inv_dn", "inv_v",
+)
+
+
+def redi_operator_to_bf16(op: RediOperator) -> RediOperator:
+    """Cast the coefficient streams to bfloat16 (mixed-precision mode).
+
+    Halves the coefficient HBM traffic of the fused Redi kernels; the
+    kernels upcast each block to the tracer dtype in-register, so the
+    tracer math and accumulation stay f32. Same design as the bf16
+    coefficient mode of the 7-point apply kernel (ops/stencil_pallas.py).
+    """
+    return dataclasses.replace(
+        op,
+        **{k: getattr(op, k).astype(jnp.bfloat16) for k in _COEF_FIELDS},
+    )

@@ -84,7 +84,7 @@ def _redi_kernel(
     chi_n = jnp.concatenate([chi[1:, :], seam_ref[0]], axis=0)
     chi_s = jnp.concatenate([chi[0:1, :], chi[: ny - 1, :]], axis=0)
 
-    up = lambda r: r[0]
+    up = lambda r: r[0].astype(chi.dtype)
     dcz = up(czu_ref) * (chi_u - chi) + up(czd_ref) * (chi - chi_d)
     dcx = up(cxe_ref) * (chi_e - chi) + up(cxw_ref) * (chi - chi_w)
     dcy = up(cyn_ref) * (chi_n - chi) + up(cys_ref) * (chi - chi_s)
@@ -154,7 +154,7 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
     deepest = lambda s: (nz - 1, 0, 0)
 
     kernel = functools.partial(_redi_kernel, ny=ny)
-    f = lambda a: a.astype(dtype)
+    f = lambda a: a if a.dtype == jnp.bfloat16 else a.astype(dtype)
 
     return pl.pallas_call(
         kernel,
@@ -229,7 +229,7 @@ def _redi_kernel_blocked(
     chi_n = jnp.concatenate([chi[1:, :], chin_ref[0]], axis=0)
     chi_s = jnp.concatenate([chis_ref[0], chi[: by - 1, :]], axis=0)
 
-    up = lambda r: r[0]
+    up = lambda r: r[0].astype(chi.dtype)
     dcz = up(czu_ref) * (chi_u - chi) + up(czd_ref) * (chi - chi_d)
     dcx = up(cxe_ref) * (chi_e - chi) + up(cxw_ref) * (chi - chi_w)
     dcy = up(cyn_ref) * (chi_n - chi) + up(cys_ref) * (chi - chi_s)
@@ -326,7 +326,7 @@ def _redi_pallas_blocked(op: RediOperator, chi, interpret: bool,
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_redi_kernel_blocked, by=by)
-    f = lambda a: a.astype(dtype)
+    f = lambda a: a if a.dtype == jnp.bfloat16 else a.astype(dtype)
 
     return pl.pallas_call(
         kernel,
@@ -448,7 +448,7 @@ def _redi_kernel_multi(
     chi_n = jnp.concatenate([chi[:, 1:, :], seam_ref[:, 0]], axis=1)
     chi_s = jnp.concatenate([chi[:, 0:1, :], chi[:, : ny - 1, :]], axis=1)
 
-    up = lambda r: r[0]                               # (ny,nx) -> broadcast
+    up = lambda r: r[0].astype(chi.dtype)             # (ny,nx) -> broadcast
     dcz = up(czu_ref) * (chi_u - chi) + up(czd_ref) * (chi - chi_d)
     dcx = up(cxe_ref) * (chi_e - chi) + up(cxw_ref) * (chi - chi_w)
     dcy = up(cyn_ref) * (chi_n - chi) + up(cys_ref) * (chi - chi_s)
@@ -513,7 +513,7 @@ def _redi_pallas_multi(op: RediOperator, chis, interpret: bool):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_redi_kernel_multi, ny=ny)
-    f = lambda a: a.astype(dtype)
+    f = lambda a: a if a.dtype == jnp.bfloat16 else a.astype(dtype)
 
     return pl.pallas_call(
         kernel,

@@ -85,7 +85,7 @@ def _redi_kernel_shard(
     chi_n = jnp.concatenate([chi[1:, :], chin_ref[0]], axis=0)
     chi_s = jnp.concatenate([chis_ref[0], chi[: ny - 1, :]], axis=0)
 
-    up = lambda r: r[0]
+    up = lambda r: r[0].astype(chi.dtype)
     dcz = up(czu_ref) * (chi_u - chi) + up(czd_ref) * (chi - chi_d)
     dcx = up(cxe_ref) * (chi_e - chi) + up(cxw_ref) * (chi - chi_w)
     dcy = up(cyn_ref) * (chi_n - chi) + up(cys_ref) * (chi - chi_s)
@@ -143,7 +143,7 @@ def _local_redi_pallas(op_local, chi, halos, interpret: bool):
     row_kp = spec(kp, (1, 1, nx_l))
 
     kernel = functools.partial(_redi_kernel_shard, ny=ny_l)
-    f = lambda a: a.astype(dtype)
+    f = lambda a: a if a.dtype == jnp.bfloat16 else a.astype(dtype)
 
     return pl.pallas_call(
         kernel,

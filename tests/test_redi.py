@@ -203,3 +203,40 @@ def test_pallas_redi_multi_fallback_scan(redi_op, indices):
         ref = np.asarray(rp.redi_apply_pallas(redi_op, chis[b],
                                               interpret=True))
         np.testing.assert_array_equal(got[b], ref)
+
+
+def test_pallas_redi_bf16_coefficients(redi_op, indices):
+    """bf16 coefficient streams through the fused kernel: the kernel
+    upcasts in-register, so its output matches the jnp apply of the
+    bf16-rounded operator (f32 math on identical coefficient values)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from otmb_tpu.models.redi import _COEF_FIELDS, redi_operator_to_bf16
+    from otmb_tpu.models.redi_pallas import redi_apply_pallas
+
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(16)
+    chi = np.where(wet, 1.0 + rng.standard_normal(wet.shape), 0.0).astype(
+        np.float32
+    )
+
+    op_bf16 = redi_operator_to_bf16(redi_op)
+    assert op_bf16.ae.dtype == jnp.bfloat16
+
+    # round-tripped f32 operator == the values the kernel sees in-register
+    op_rt = dataclasses.replace(
+        redi_op,
+        **{
+            k: getattr(op_bf16, k).astype(np.float32)
+            for k in _COEF_FIELDS
+        },
+    )
+    ref = np.asarray(redi_apply(op_rt, chi)).astype(np.float32)
+    got = np.asarray(redi_apply_pallas(op_bf16, chi, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5 * scale)
+    # and the bf16 rounding itself stays at the bf16 relative level
+    exact = np.asarray(redi_apply(redi_op, chi))
+    assert np.abs(got - exact).max() <= 3e-2 * np.abs(exact).max()
