@@ -295,12 +295,21 @@ def implicit_euler_step(
 
 
 @partial(jax.jit, static_argnames=("topology", "transpose"))
-def _ir_defect(c_wide, x, b_wide, extra_wide, shift, bnorm_safe,
+def _ir_defect(c_narrow, x, b_wide, extra_wide, shift, bnorm_safe,
                topology: GridTopology, transpose: bool):
     """One wide-precision defect evaluation: r = b - A x, its norm s,
-    the normalized narrow-precision defect, and the relative residual."""
+    the normalized narrow-precision defect, and the relative residual.
+
+    Takes the NARROW coefficient fields and promotes them to the wide
+    dtype inside the jit: XLA fuses the converts into the stencil
+    arithmetic, so no persistent wide copy of the 9 coefficient streams
+    ever exists in HBM — the difference between refinement fitting (or
+    not) at the 0.25-degree scale-out size (9 x 117M x 8B = 8.4 GB of
+    persistent f64 coefficients avoided)."""
     from ..ops.apply import apply_stencil_transpose
 
+    wide = b_wide.dtype
+    c_wide = jax.tree_util.tree_map(lambda a: a.astype(wide), c_narrow)
     apply_wide = apply_stencil_transpose if transpose else apply_stencil
     r = b_wide - (shift * x + extra_wide * x
                   + apply_wide(c_wide, x, topology))
@@ -364,7 +373,6 @@ def solve_shifted_ir(
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     narrow = coeffs.diag.dtype
 
-    c_wide = jax.tree_util.tree_map(lambda a: a.astype(wide), coeffs)
     b_wide = jnp.asarray(b).astype(wide)
     extra_wide = (
         jnp.zeros((), wide) if extra_diag is None
@@ -375,13 +383,19 @@ def solve_shifted_ir(
     bnorm = jnp.linalg.norm(b_wide)
     bnorm_safe = jnp.where(bnorm == 0, 1.0, bnorm)
 
+    # At grid sizes where the Pallas matvec is j-blocked on a real TPU,
+    # the inner f32 solves go through the host-chunked fori_loop Krylov
+    # (the while_loop solvers would demote to the jnp matvec there; see
+    # `_use_chunked`). Same solver contract, ~1.5x faster per iteration.
+    chunked_inner = _use_chunked(apply_impl, mesh, False, topology, narrow)
+
     x = jnp.zeros_like(b_wide)
     rel = jnp.asarray(jnp.inf, wide)
     rel_prev = float("inf")
     stagnant = 0
     for _ in range(max_refinements):
         r_hat, s_safe, rel = _ir_defect(
-            c_wide, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+            coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
             topology, transpose,
         )
         if float(rel) <= tol:
@@ -407,16 +421,24 @@ def solve_shifted_ir(
             )
             break
         rel_prev = float(rel)
-        d, _ = solve_shifted(
-            coeffs, r_hat.astype(narrow), topology, shift=shift,
-            extra_diag=extra_diag, tol=inner_tol, method=method,
-            maxiter=maxiter, transpose=transpose,
-            preconditioner=preconditioner, apply_impl=apply_impl, mesh=mesh,
-        )
+        if chunked_inner:
+            d, _ = solve_shifted_chunked(
+                coeffs, r_hat.astype(narrow), topology, shift=shift,
+                extra_diag=extra_diag, tol=inner_tol, maxiter=maxiter,
+                transpose=transpose, preconditioner=preconditioner,
+            )
+        else:
+            d, _ = solve_shifted(
+                coeffs, r_hat.astype(narrow), topology, shift=shift,
+                extra_diag=extra_diag, tol=inner_tol, method=method,
+                maxiter=maxiter, transpose=transpose,
+                preconditioner=preconditioner, apply_impl=apply_impl,
+                mesh=mesh,
+            )
         x = _ir_update(x, s_safe, d)
     else:
         _, _, rel = _ir_defect(
-            c_wide, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+            coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
             topology, transpose,
         )
     return x, rel
@@ -723,6 +745,7 @@ def solve_shifted_chunked(
     transpose: bool = False,
     preconditioner: str = "tridiag",
     interpret: bool | None = None,
+    verbose: bool = False,
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
@@ -770,7 +793,9 @@ def solve_shifted_chunked(
     # Every device array is a jit ARGUMENT: closing over the multi-GB
     # coefficient/preconditioner fields would bake them into the lowered
     # program as constants and ship them through the (remote) compiler.
-    @_partial(jax.jit, static_argnames=("nsteps",))
+    # The Krylov state (5 grid-sized vectors) is donated: the next chunk
+    # overwrites it in place instead of holding two copies live.
+    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(5,))
     def run_chunk(c_l, mc_l, md_l, shift_l, extra_l, state, nsteps: int):
         if preconditioner == "tridiag":
             M = _tridiag_preconditioner(mc_l, md_l)
@@ -808,15 +833,47 @@ def solve_shifted_chunked(
     bnorm2 = float(jnp.vdot(b, b).real)
     atol2 = (tol ** 2) * bnorm2
     x0 = jnp.zeros_like(b)
-    state = (x0, b, b, b, jnp.vdot(b, b))
+    # Fresh buffers for r/p/rhat0: the chunk jit DONATES its state, and
+    # handing it b's own buffer would invalidate b for final_res below.
+    state = (x0, b + 0.0, b + 0.0, b + 0.0, jnp.vdot(b, b))
     iters = 0
+    best_rnorm2 = float("inf")
+    stagnant = 0
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
                                   shift, extra, state, nsteps)
         iters += nsteps
-        if float(rnorm2) <= atol2:
+        rn2 = float(rnorm2)
+        if verbose:
+            import sys as _sys
+
+            print(f"#   chunked iter {iters}: rel recurrence residual "
+                  f"{(rn2 / bnorm2) ** 0.5:.3e}", file=_sys.stderr)
+        if rn2 <= atol2:
             break
+        # f32-floor detection: a whole chunk of iterations that fails to
+        # beat the best residual so far by even ~1% (in norm) means the
+        # recurrence has hit its rounding floor — burning the remaining
+        # maxiter cannot help. BiCGStab residuals plateau transiently,
+        # so require THREE consecutive no-progress chunks before bailing.
+        if rn2 >= 0.98 * best_rnorm2:
+            stagnant += 1
+            if stagnant >= 3:
+                import warnings
+
+                warnings.warn(
+                    f"solve_shifted_chunked: stagnated at relative "
+                    f"residual {(rn2 / bnorm2) ** 0.5:.3e} after {iters} "
+                    f"iterations ({3 * chunk} without progress) — likely "
+                    f"the f32 rounding floor; wrap in solve_shifted_ir "
+                    f"for tighter residuals.",
+                    stacklevel=2,
+                )
+                break
+        else:
+            stagnant = 0
+        best_rnorm2 = min(best_rnorm2, rn2)
 
     x = state[0]
 

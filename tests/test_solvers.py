@@ -1,5 +1,7 @@
 """Solver layer: explicit/implicit stepping and the ideal-age workload."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse.linalg as spla
@@ -384,3 +386,64 @@ def test_solve_shifted_chunked_maxiter_cap(ops, gridmetrics, indices):
         ops.T, b, topo, shift=1e-9, tol=1e-15, maxiter=6, chunk=4
     )
     assert float(res) > 0.0  # did not magically converge in 6 iterations
+
+
+def test_solve_shifted_chunked_stagnation_stop(ops, gridmetrics, indices):
+    """When the Krylov recurrence stops making progress the chunked
+    solver detects it (three consecutive no-progress chunks) and stops
+    with a warning instead of burning to maxiter — on the real TPU a
+    floored 0.25-degree solve would otherwise waste ~60 s of
+    iterations. Trigger: a skew-dominant operator (purely imaginary
+    eigenvalue pairs), the classic BiCGStab staller (omega breakdown)."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d).astype(np.float32)
+    z = jnp.zeros_like(ops.T.diag, dtype=jnp.float32)
+    w = jnp.asarray(wet)
+    skew = ops.T._replace(
+        diag=z + 1e-6 * w, east=z + w, west=z - w, north=z, south=z,
+        top=z, bottom=z,
+    )
+    rng = np.random.default_rng(5)
+    b = (wet * rng.standard_normal(wet.shape)).astype(np.float32)
+    with pytest.warns(UserWarning, match="stagnated"):
+        _, res = solve_shifted_chunked(
+            skew, b, topo, shift=np.float32(0.0), tol=1e-300,
+            maxiter=100_000, chunk=10, preconditioner="jacobi",
+        )
+    # bailed long before maxiter, with the honest (recomputed) residual
+    assert 0.0 < float(res) < 1.0
+
+
+def test_ir_defect_promotes_in_jit(ops, gridmetrics, indices):
+    """solve_shifted_ir evaluates its defect from the NARROW coefficient
+    fields promoted inside the jit (no persistent wide copies); the
+    refined result must still reach f64-level residuals OF THE SYSTEM IT
+    SOLVES (the f32-rounded operator), checked independently via the
+    scipy export of those same f32 coefficients."""
+    from otmb_tpu.models.solvers import solve_shifted_ir
+    from otmb_tpu.utils.sparse_export import coeffs_to_scipy
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(31)
+    b = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+
+    c32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), ops.T
+    )
+    x, rel = solve_shifted_ir(
+        c32, b.astype(np.float32), topo, shift=1e-4,
+        tol=1e-9, inner_tol=1e-4,
+    )
+    assert x.dtype == jnp.float64  # wide accumulation
+    assert float(rel) < 1e-9
+
+    # independent f64 residual of the f32-rounded operator, against the
+    # f32-rounded b the solver actually saw
+    a32 = coeffs_to_scipy(c32, indices, topo).astype(np.float64)
+    xv = np.asarray(x)[wet]
+    bv = b[wet].astype(np.float32).astype(np.float64)
+    r = bv - (a32 @ xv + 1e-4 * xv)
+    assert np.linalg.norm(r) / np.linalg.norm(bv) < 1e-8
