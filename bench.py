@@ -696,12 +696,14 @@ def main():
                 file=sys.stderr,
             )
 
-            # Full 0.25-degree ideal-age steady state: f32 BiCGStab (no
-            # f64 refinement — f32 residual floor). apply_impl='pallas'
-            # routes through the host-CHUNKED Krylov here (fori_loop
-            # chunks of the j-blocked matvec; while_loop + blocked kernels
-            # crash this TPU runtime), with a jnp-matvec retry if the
-            # chunked path faults. The reference's headline workload
+            # Full 0.25-degree ideal-age steady state with MIXED-
+            # PRECISION refinement: f32 BiCGStab passes through the
+            # host-CHUNKED Krylov (fori_loop chunks of the j-blocked
+            # matvec; while_loop + blocked kernels crash this TPU
+            # runtime) wrapped in f64 defect correction — the f32-only
+            # solve floors at ~1e-3 relative residual here, refinement
+            # reaches the requested 1e-5. A jnp-matvec retry covers a
+            # chunked-path fault. The reference's headline workload
             # needed ~3 min on a 4x-COARSENED 1-degree matrix; this is
             # the uncoarsened quarter-degree grid. Runs LAST in this
             # section: a TPU-worker fault here must not cost the lines
@@ -711,44 +713,44 @@ def main():
                     lambda g, w, u, v, m: assemble_transport(u, v, m, g, w).T
                 )(qgm, qwet, qumo, qvmo, qml)
                 jax.block_until_ready(qcoeffs)
-                impl_used = "pallas (chunked)"
+                # Free the build inputs: the f64 refinement state at this
+                # size needs the ~3 GB they hold.
+                qgm = qumo = qvmo = qml = qchi = None
+                jax.config.update("jax_enable_x64", True)
+                impl_used = "refined pallas (chunked)"
                 t0 = time.perf_counter()
                 try:
                     gamma_q, res_q = otmb.ideal_age(
-                        qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="pallas"
+                        qcoeffs, qwet, qtopo, tol=1e-5,
+                        apply_impl="pallas", refine=True,
                     )
                     rq = float(res_q)
                 except Exception as e:
-                    print(f"# 0.25-degree chunked-pallas age failed "
+                    print(f"# 0.25-degree refined-pallas age failed "
                           f"({type(e).__name__}); retrying with jnp matvec",
                           file=sys.stderr)
-                    impl_used = "jnp"
+                    impl_used = "refined jnp"
                     t0 = time.perf_counter()
                     gamma_q, res_q = otmb.ideal_age(
-                        qcoeffs, qwet, qtopo, tol=1e-4, apply_impl="jnp"
+                        qcoeffs, qwet, qtopo, tol=1e-5, apply_impl="jnp",
+                        refine=True,
                     )
                     rq = float(res_q)
-                t_warm = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                gamma_q, res_q = otmb.ideal_age(
-                    qcoeffs, qwet, qtopo, tol=1e-4,
-                    surface_rate=np.float32(1.001),
-                    apply_impl="pallas" if "pallas" in impl_used else "jnp",
-                )
-                rq = float(res_q)
                 tq_age = time.perf_counter() - t0
                 mean_q = float(jnp.nanmean(gamma_q)) / (86400 * 365.25)
                 print(
-                    f"# 0.25-degree ideal-age steady state (f32 Krylov, "
-                    f"{impl_used} matvec): {tq_age:.1f} s "
-                    f"(first call incl. compile {t_warm:.1f} s), rel "
-                    f"residual {rq:.1e}, mean age {mean_q:.1f} yr",
+                    f"# 0.25-degree ideal-age steady state (f32 Krylov + "
+                    f"f64 defect correction, {impl_used} matvec): "
+                    f"{tq_age:.1f} s incl. compile, rel residual "
+                    f"{rq:.1e}, mean age {mean_q:.1f} yr",
                     file=sys.stderr,
                 )
                 gamma_q = qcoeffs = None
             except Exception as e:
                 print(f"# 0.25-degree ideal-age unavailable: {e}",
                       file=sys.stderr)
+            finally:
+                jax.config.update("jax_enable_x64", False)
         except Exception as e:
             print(f"# 0.25-degree diagnostics unavailable: {e}",
                   file=sys.stderr)

@@ -318,7 +318,7 @@ def _ir_defect(c_narrow, x, b_wide, extra_wide, shift, bnorm_safe,
     return r / s_safe, s_safe, s / bnorm_safe
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _ir_update(x, s_safe, d):
     return x + s_safe * d.astype(x.dtype)
 
@@ -393,7 +393,12 @@ def solve_shifted_ir(
     rel = jnp.asarray(jnp.inf, wide)
     rel_prev = float("inf")
     stagnant = 0
+    r_hat = d = None
     for _ in range(max_refinements):
+        # Drop the previous pass's defect and correction BEFORE the next
+        # wide defect evaluation: at the 0.25-degree scale keeping them
+        # live (1.4 GB) across the f64 apply tips the device into OOM.
+        r_hat = d = None
         r_hat, s_safe, rel = _ir_defect(
             coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
             topology, transpose,
@@ -421,20 +426,23 @@ def solve_shifted_ir(
             )
             break
         rel_prev = float(rel)
+        rhs = r_hat.astype(narrow)
+        r_hat = None  # the wide defect (0.9 GB at 0.25-degree) is spent
         if chunked_inner:
             d, _ = solve_shifted_chunked(
-                coeffs, r_hat.astype(narrow), topology, shift=shift,
+                coeffs, rhs, topology, shift=shift,
                 extra_diag=extra_diag, tol=inner_tol, maxiter=maxiter,
                 transpose=transpose, preconditioner=preconditioner,
             )
         else:
             d, _ = solve_shifted(
-                coeffs, r_hat.astype(narrow), topology, shift=shift,
+                coeffs, rhs, topology, shift=shift,
                 extra_diag=extra_diag, tol=inner_tol, method=method,
                 maxiter=maxiter, transpose=transpose,
                 preconditioner=preconditioner, apply_impl=apply_impl,
                 mesh=mesh,
             )
+        rhs = None
         x = _ir_update(x, s_safe, d)
     else:
         _, _, rel = _ir_defect(
