@@ -806,7 +806,20 @@ def solve_shifted_chunked(
     @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(5,))
     def run_chunk(c_l, mc_l, md_l, shift_l, extra_l, state, nsteps: int):
         if preconditioner == "tridiag":
-            M = _tridiag_preconditioner(mc_l, md_l)
+            # Fused Pallas Thomas kernel: both sweeps in VMEM, 5 HBM
+            # streams instead of the jnp scans' ~9 — the preconditioner
+            # is applied twice per BiCGStab iteration, so this is the
+            # second-largest per-iteration cost after the matvec.
+            from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+            guarded = jnp.where(md_l != 0, md_l,
+                                jnp.ones((), md_l.dtype))
+
+            def M(v):
+                return tridiag_solve_pallas(
+                    mc_l.bottom, guarded, mc_l.top, v,
+                    interpret=interpret,
+                )
         else:
             M = _jacobi_preconditioner(md_l)
 
