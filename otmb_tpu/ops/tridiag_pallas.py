@@ -58,8 +58,9 @@ def _thomas_kernel(lo_ref, di_ref, up_ref, b_ref, x_ref, cp_scr, dp_scr,
         x_next = x
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def tridiag_solve_pallas(lower, diag, upper, b, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def tridiag_solve_pallas(lower, diag, upper, b, interpret: bool = False,
+                         block: tuple[int, int] | None = None):
     """Solve the per-column tridiagonal system for every (j, i) column.
 
     Shapes all (nz, ny, nx); `lower` couples to k+1, `upper` to k-1
@@ -74,7 +75,7 @@ def tridiag_solve_pallas(lower, diag, upper, b, interpret: bool = False):
     b = jnp.asarray(b)
     nz, ny, nx = b.shape
     dtype = b.dtype
-    by, bx = 8, 256
+    by, bx = block if block is not None else (8, 256)
 
     spec = pl.BlockSpec((nz, by, bx), lambda j, i: (0, j, i),
                         memory_space=pltpu.VMEM)

@@ -131,7 +131,18 @@ def solve_shifted_halo_pallas(
 
         shifted_diag = shift_l + extra_l + c_l.diag
         if preconditioner == "tridiag":
-            M = _tridiag_preconditioner(c_l, shifted_diag)
+            # Shard-local fused Pallas Thomas kernel (k is never
+            # sharded, so each shard solves its own full columns):
+            # 5 HBM streams per apply vs the jnp scans' ~9.
+            from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+            gd = jnp.where(shifted_diag != 0, shifted_diag,
+                           jnp.ones((), shifted_diag.dtype))
+
+            def M(v):
+                return tridiag_solve_pallas(
+                    c_l.bottom, gd, c_l.top, v, interpret=interpret
+                )
         elif preconditioner == "jacobi":
             M = _jacobi_preconditioner(shifted_diag)
         else:
