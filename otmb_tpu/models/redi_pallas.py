@@ -37,6 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.pallas_util import index_map_i32
+
 from ..ops.stencil_pallas import _default_interpret, _x64_off
 from .redi import RediOperator
 
@@ -146,7 +148,8 @@ def _redi_pallas(op: RediOperator, chi, interpret: bool):
     kp1 = lambda s: (jnp.clip(nz - s, 0, nz - 1), 0, 0)
 
     def spec(index_map, block=(1, ny, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     const2d = lambda s: (0, 0, 0)
     # Deepest slab, fetched once (the index map never changes, so the
@@ -323,7 +326,8 @@ def _redi_pallas_blocked(op: RediOperator, chi, interpret: bool,
     const2d = lambda jb, s: (0, jb, 0)
 
     def spec(index_map, block=(1, by, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_redi_kernel_blocked, by=by)
     f = lambda a: a if a.dtype == jnp.bfloat16 else a.astype(dtype)
@@ -510,7 +514,8 @@ def _redi_pallas_multi(op: RediOperator, chis, interpret: bool):
     deepest4 = lambda s: (0, nz - 1, 0, 0)  # one fetch
 
     def spec(index_map, block=(1, ny, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_redi_kernel_multi, ny=ny)
     f = lambda a: a if a.dtype == jnp.bfloat16 else a.astype(dtype)

@@ -195,20 +195,19 @@ def solve_shifted(
         )
     extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
     if apply_impl == "pallas":
-        from ..ops.stencil_pallas import _default_interpret, _resolve_variant
+        from ..ops.stencil_pallas import blocked_unstable_in_while
 
-        if (not _default_interpret() and _resolve_variant(
-                "auto", topology, b.dtype.itemsize) == "blocked"):
-            # The j-blocked kernel inside lax.while_loop crashes/hangs the
-            # TPU worker at 0.25-degree scale (observed on v5e, with and
-            # without buffer aliasing); the XLA-fused jnp matvec costs
-            # ~1.5x per iteration and is reliable there.
+        if blocked_unstable_in_while(topology, b.dtype.itemsize):
+            # See blocked_unstable_in_while: prefer solve_shifted_chunked
+            # at this size; inside this jitted entry the only safe
+            # fallback is the XLA-fused jnp matvec (~1.5x per iteration).
             import logging
 
             logging.getLogger(__name__).warning(
                 "apply_impl='pallas' would use the j-blocked kernel inside "
-                "a while_loop, which is unstable at this grid size on TPU; "
-                "falling back to the jnp matvec"
+                "a while_loop, which is unproven at this grid size on TPU; "
+                "falling back to the jnp matvec (use solve_shifted_chunked "
+                "for the fast path)"
             )
             apply_impl = "jnp"
     if apply_impl == "pallas":
@@ -387,7 +386,22 @@ def solve_shifted_ir(
     # the inner f32 solves go through the host-chunked fori_loop Krylov
     # (the while_loop solvers would demote to the jnp matvec there; see
     # `_use_chunked`). Same solver contract, ~1.5x faster per iteration.
-    chunked_inner = _use_chunked(apply_impl, mesh, False, topology, narrow)
+    # The chunked engine is BiCGStab-only: honor an explicit
+    # method='gmres' request with the (slower) while_loop path instead
+    # of silently switching algorithms.
+    chunked_inner = (method == "bicgstab"
+                     and _use_chunked(apply_impl, mesh, False, topology,
+                                      narrow))
+    if method != "bicgstab" and _use_chunked(apply_impl, mesh, False,
+                                             topology, narrow):
+        import warnings
+
+        warnings.warn(
+            f"solve_shifted_ir: method={method!r} prevents the chunked "
+            "BiCGStab fast path at this grid size; the inner solves will "
+            "use the jnp matvec (see solve_shifted's while_loop guard)",
+            stacklevel=2,
+        )
 
     x = jnp.zeros_like(b_wide)
     rel = jnp.asarray(jnp.inf, wide)
@@ -460,11 +474,9 @@ def _use_chunked(apply_impl, mesh, refine, topology, dtype) -> bool:
     blocked kernels are stable and ~1.5x faster per iteration."""
     if apply_impl != "pallas" or mesh is not None or refine:
         return False
-    from ..ops.stencil_pallas import _default_interpret, _resolve_variant
+    from ..ops.stencil_pallas import blocked_unstable_in_while
 
-    return (not _default_interpret()
-            and _resolve_variant("auto", topology,
-                                 jnp.dtype(dtype).itemsize) == "blocked")
+    return blocked_unstable_in_while(topology, jnp.dtype(dtype).itemsize)
 
 
 def ideal_age(
@@ -642,21 +654,24 @@ def solve_shifted_multi(
     apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
 
     if apply_impl == "pallas" and not interpret:
-        from ..ops.stencil_pallas import _multi_vmem_ok, _resolve_variant
+        from ..ops.stencil_pallas import (
+            _multi_vmem_ok,
+            blocked_unstable_in_while,
+        )
 
         if (not _multi_vmem_ok(bs.shape[0], topology, bs.dtype.itemsize)
-                or _resolve_variant("auto", topology,
-                                    bs.dtype.itemsize) == "blocked"):
-            # Same while_loop instability as solve_shifted: blocked
-            # kernels inside the Krylov loop are unreliable on TPU at
-            # scale-out grid sizes — use the (natively batched) jnp
-            # matvec there.
+                or blocked_unstable_in_while(topology, bs.dtype.itemsize)):
+            # Same while_loop guard as solve_shifted (see
+            # blocked_unstable_in_while) — use the (natively batched)
+            # jnp matvec here; the fast path at blocked sizes is
+            # solve_shifted_chunked_multi.
             import logging
 
             logging.getLogger(__name__).warning(
                 "solve_shifted_multi: batched Pallas matvec would need a "
-                "j-blocked kernel inside the Krylov while_loop (unstable "
+                "j-blocked kernel inside the Krylov while_loop (unproven "
                 "at this grid size on TPU); falling back to the jnp matvec"
+                " (use solve_shifted_chunked_multi for the fast path)"
             )
             apply_impl = "jnp"
 
@@ -754,6 +769,7 @@ def solve_shifted_chunked(
     preconditioner: str = "tridiag",
     interpret: bool | None = None,
     verbose: bool = False,
+    early_stop: bool = True,
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
@@ -858,8 +874,8 @@ def solve_shifted_chunked(
     # handing it b's own buffer would invalidate b for final_res below.
     state = (x0, b + 0.0, b + 0.0, b + 0.0, jnp.vdot(b, b))
     iters = 0
-    best_rnorm2 = float("inf")
-    stagnant = 0
+    chunks_done = 0
+    window_rn2 = float("inf")
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
@@ -873,28 +889,28 @@ def solve_shifted_chunked(
                   f"{(rn2 / bnorm2) ** 0.5:.3e}", file=_sys.stderr)
         if rn2 <= atol2:
             break
-        # f32-floor detection: a whole chunk of iterations that fails to
-        # beat the best residual so far by even ~1% (in norm) means the
-        # recurrence has hit its rounding floor — burning the remaining
-        # maxiter cannot help. BiCGStab residuals plateau transiently,
-        # so require THREE consecutive no-progress chunks before bailing.
-        if rn2 >= 0.98 * best_rnorm2:
-            stagnant += 1
-            if stagnant >= 3:
+        # f32-floor detection on CUMULATIVE progress: a slowly-but-
+        # genuinely converging solve shrinks the residual a little every
+        # chunk, which a per-chunk threshold would misread as stagnation.
+        # Only when a whole 3-chunk window TOGETHER fails to improve the
+        # residual NORM by even 2% has the recurrence hit its rounding
+        # floor — then burning the remaining maxiter cannot help.
+        chunks_done += 1
+        if early_stop and chunks_done % 3 == 0:
+            if rn2 >= (0.98 ** 2) * window_rn2:
                 import warnings
 
                 warnings.warn(
-                    f"solve_shifted_chunked: stagnated at relative "
-                    f"residual {(rn2 / bnorm2) ** 0.5:.3e} after {iters} "
-                    f"iterations ({3 * chunk} without progress) — likely "
-                    f"the f32 rounding floor; wrap in solve_shifted_ir "
-                    f"for tighter residuals.",
+                    f"solve_shifted_chunked: relative residual "
+                    f"{(rn2 / bnorm2) ** 0.5:.3e} after {iters} iterations "
+                    f"improved <2% over the last {3 * chunk} iterations — "
+                    f"likely the f32 rounding floor; wrap in "
+                    f"solve_shifted_ir for tighter residuals, or pass "
+                    f"early_stop=False to keep iterating.",
                     stacklevel=2,
                 )
                 break
-        else:
-            stagnant = 0
-        best_rnorm2 = min(best_rnorm2, rn2)
+            window_rn2 = rn2
 
     x = state[0]
 

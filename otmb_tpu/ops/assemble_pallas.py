@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import index_map_i32
+
 from ..config import (
     KAPPA_H_DEFAULT,
     KAPPA_VDEEP_DEFAULT,
@@ -412,9 +414,10 @@ def _assemble_pallas(
     flat2d = lambda s: (0, 0)
 
     def spec(index_map, block=(1, ny, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
-    spec2d = pl.BlockSpec((ny, nx), flat2d, memory_space=pltpu.VMEM)
+    spec2d = pl.BlockSpec((ny, nx), index_map_i32(flat2d), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _assembly_kernel,
@@ -741,9 +744,10 @@ def _assemble_pallas_blocked(
     flat2d = lambda jb, s: (jb, 0)
 
     def spec(index_map, block=(1, by, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
-    spec2d = pl.BlockSpec((by, nx), flat2d, memory_space=pltpu.VMEM)
+    spec2d = pl.BlockSpec((by, nx), index_map_i32(flat2d), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _assembly_kernel_blocked,

@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import index_map_i32
+
 from ..grid.topology import GridTopology
 from .coeffs import StencilCoeffs
 
@@ -84,7 +86,8 @@ def _apply_pallas(coeffs: StencilCoeffs, chi, topology: GridTopology,
     slab_dn = lambda k: (jnp.minimum(k + 1, nz - 1), 0, 0)
 
     def spec(index_map, block=(1, ny, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     # Seam row for the j+1 neighbor of the top row: i-reversed top row for
     # the tripolar fold (Mosaic has no in-kernel lane reversal, so it is
@@ -183,7 +186,8 @@ def _apply_pallas_carry(coeffs: StencilCoeffs, chi, topology: GridTopology,
     slab_in = lambda s: (jnp.minimum(s, nz - 1), 0, 0)
 
     def spec(index_map, block=(1, ny, nx)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     if topology.is_tripolar:
         seam = chi[:, ny - 1, ::-1]
@@ -371,7 +375,8 @@ def _apply_pallas_blocked(coeffs: StencilCoeffs, chi, topology: GridTopology,
     row_seam = lambda jb, s: (jnp.maximum(s - 1, 0), 0, 0)
 
     def spec(index_map, block):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _stencil_kernel_blocked,
@@ -469,7 +474,8 @@ def _propagate_pallas_blocked(coeffs: StencilCoeffs, chi,
     row_seam = lambda jb, s: (jnp.maximum(s - 1, 0), 0, 0)
 
     def spec(index_map, block):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _stencil_kernel_blocked,
@@ -609,6 +615,35 @@ def _resolve_variant(variant: str, topology: GridTopology, itemsize: int) -> str
     _, ny, nx = topology.shape3d
     full_set = 12 * ny * nx * itemsize * 2
     return "carry" if full_set <= _FULL_SLAB_VMEM_BUDGET else "blocked"
+
+
+def blocked_unstable_in_while(topology: GridTopology, itemsize: int) -> bool:
+    """True when a matvec at this grid size would use the j-blocked kernel
+    on a REAL TPU inside a `lax.while_loop` — the one runtime pattern this
+    repo treats as unsafe.
+
+    Evidence (tests/repro_blocked_while.py, re-run round 4 on v5e/jax
+    0.9.0 after the x64 index-map fix): the blocked kernel inside a
+    while_loop at 1440x1080x75 PASSES at 30 and 200 iterations, but a
+    production-length 2000-iteration BiCGStab crashes the worker
+    outright ("UNAVAILABLE: TPU worker process crashed or restarted")
+    — an iteration-count-dependent runtime fault, not the (separately
+    fixed) x64 index-map Mosaic bug, and not buffer aliasing (round 2
+    reproduced it both ways). The SAME kernel driven by `lax.fori_loop`
+    chunks is stable at roofline for arbitrarily many total iterations,
+    so the guard stays, and callers that hit it should route to the
+    host-chunked fori_loop Krylov
+    (`models.solvers.solve_shifted_chunked`) — both stable and faster
+    than the jnp-matvec fallback. OTMB_ALLOW_BLOCKED_WHILE=1 opts back
+    in (used by the repro script; expect a worker crash + multi-minute
+    backend recovery).
+    """
+    import os
+
+    if os.environ.get("OTMB_ALLOW_BLOCKED_WHILE") == "1":
+        return False
+    return (not _default_interpret()
+            and _resolve_variant("auto", topology, itemsize) == "blocked")
 
 
 _IMPLS = {
@@ -772,7 +807,8 @@ def _apply_pallas_multi(coeffs: StencilCoeffs, chis, topology: GridTopology,
     kernel = functools.partial(_stencil_kernel_multi, ny=ny, dt=dt_static)
 
     def spec(index_map, block):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         kernel,
@@ -984,7 +1020,8 @@ def _blocked_multi_specs(B, nz, ny, nx, by, nb):
     coef = lambda jb, s: (jnp.maximum(s - 1, 0), jb, 0)
 
     def spec(index_map, block):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     in_specs = [spec(coef, (1, by, nx))] * 7 + [
         spec(blk_in, (B, 1, by, nx)),

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_util import index_map_i32
+
 
 def _thomas_kernel(lo_ref, di_ref, up_ref, b_ref, x_ref, cp_scr, dp_scr,
                    *, nz: int):
@@ -77,7 +79,7 @@ def tridiag_solve_pallas(lower, diag, upper, b, interpret: bool = False,
     dtype = b.dtype
     by, bx = block if block is not None else (8, 256)
 
-    spec = pl.BlockSpec((nz, by, bx), lambda j, i: (0, j, i),
+    spec = pl.BlockSpec((nz, by, bx), index_map_i32(lambda j, i: (0, j, i)),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_thomas_kernel, nz=nz),

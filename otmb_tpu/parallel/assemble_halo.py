@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_util import index_map_i32
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import (
@@ -237,9 +239,10 @@ def _local_assembly_pallas(
     flat2d = lambda s: (0, 0)
 
     def spec(index_map, block=(1, ny_l, nx_l)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
-    spec2d = pl.BlockSpec((ny_l, nx_l), flat2d, memory_space=pltpu.VMEM)
+    spec2d = pl.BlockSpec((ny_l, nx_l), index_map_i32(flat2d), memory_space=pltpu.VMEM)
     spec_row = spec(slab, (1, 1, nx_l))
     spec_col = spec(slab, (1, ny_l, 1))
 
@@ -278,7 +281,7 @@ def _local_assembly_pallas(
         + rho_col_specs
         + [spec(slab, (1, 8, nx_l))]
         + [spec2d] * 11
-        + [pl.BlockSpec((1, nx_l), flat2d, memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((1, nx_l), index_map_i32(flat2d), memory_space=pltpu.VMEM)],
         out_specs=[spec(slab)] * 7,
         out_shape=[jax.ShapeDtypeStruct((nz, ny_l, nx_l), dtype)] * 7,
         scratch_shapes=scratch,

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_util import index_map_i32
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..grid.topology import GridTopology
@@ -70,7 +72,8 @@ def _local_pallas_apply(coeffs_local, chi_local, halos, dt_static,
     slab_dn = lambda k: (jnp.minimum(k + 1, nz - 1), 0, 0)
 
     def spec(index_map, block):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_stencil_kernel_local, dt=dt_static)
     full = (1, ny_l, nx_l)
@@ -269,7 +272,8 @@ def _local_pallas_apply_multi(coeffs_local, chis_local, halos, dt_static,
     slab_dn = lambda k: (0, jnp.minimum(k + 1, nz - 1), 0, 0)
 
     def spec(index_map, block):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_stencil_kernel_local_multi, dt=dt_static)
     full = (B, 1, ny_l, nx_l)

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.pallas_util import index_map_i32
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.redi import RediOperator
@@ -135,7 +137,8 @@ def _local_redi_pallas(op_local, chi, halos, interpret: bool):
     kp1 = lambda s: (jnp.clip(nz - s, 0, nz - 1), 0, 0)
 
     def spec(index_map, block=(1, ny_l, nx_l)):
-        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map_i32(index_map),
+                            memory_space=pltpu.VMEM)
 
     const2d = lambda s: (0, 0, 0)
     deepest = lambda s: (nz - 1, 0, 0)  # fetched once

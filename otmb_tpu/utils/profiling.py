@@ -218,7 +218,9 @@ def dma_peak_probe(nstreams: int = 7, mbytes: int = 200):
             acc = acc + r[0]
         o_ref[0] = acc
 
-    spec = pl.BlockSpec((1, ny, nx), lambda s: (s, 0, 0),
+    from ..ops.pallas_util import index_map_i32
+
+    spec = pl.BlockSpec((1, ny, nx), index_map_i32(lambda s: (s, 0, 0)),
                         memory_space=pltpu.VMEM)
 
     @jax.jit

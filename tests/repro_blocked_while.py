@@ -1,0 +1,166 @@
+"""Standalone repro for the j-blocked-Pallas-kernel-inside-while_loop
+TPU instability (the guard `ops.stencil_pallas.blocked_unstable_in_while`).
+
+NOT collected by pytest (no test_ prefix): a positive reproduction can
+crash or hang the TPU *worker*, which would take the rest of a test run
+down with it. Run it manually, in a subprocess, under a timeout:
+
+    timeout 600 python tests/repro_blocked_while.py [--size NX NY NZ]
+
+History:
+  * Round 2 (jax 0.9.0, v5e, axon relay): the j-blocked stencil kernel
+    inside the BiCGStab `lax.while_loop` crashed/hung the worker at the
+    0.25-degree size (1440x1080x75), with and without buffer aliasing;
+    the SAME kernel inside `lax.fori_loop` was stable at roofline. That
+    observation created the guards now centralized in
+    `blocked_unstable_in_while`.
+  * Round 4 re-test, after the x64 index-map fix (ops/pallas_util.py):
+    stages 1-3 all PASS at the default --iters 30 / 200 Krylov
+    iterations — but re-running stage 3 with maxiter=2000 (production
+    length) crashed the worker ("UNAVAILABLE: TPU worker process
+    crashed or restarted"). The fault is therefore ITERATION-COUNT-
+    DEPENDENT: short while_loops are fine, long ones kill the worker,
+    and fori_loop chunks of any total length are fine. Hypotheses
+    tested and excluded: buffer aliasing (round 2, both ways), the x64
+    index-map Mosaic bug (fixed separately; stage 3 still crashes at
+    2000 iters after the fix). Remaining suspect: a per-iteration
+    resource leak in the runtime's handling of multi-program kernel
+    launches under a data-dependent loop bound. The guard
+    (`blocked_unstable_in_while`) therefore stays on.
+
+Stages:
+  1. j-blocked apply kernel alone in a 30-iteration while_loop
+  2. fused Thomas kernel alone in a 30-iteration while_loop
+  3. the full production pattern: BiCGStab while_loop with the blocked
+     Pallas matvec + Pallas Thomas preconditioner (what `solve_shifted`
+     would run at 0.25 degree without the guard); --bicgstab-maxiter
+     2000 reproduces the worker crash
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", nargs=3, type=int, default=[1440, 1080, 75],
+                    metavar=("NX", "NY", "NZ"))
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--bicgstab-maxiter", type=int, default=200,
+                    help="stage-3 Krylov iteration cap; 2000 reproduces "
+                         "the worker crash")
+    ap.add_argument("--stage", type=int, default=0,
+                    help="run only this stage (0 = all)")
+    args = ap.parse_args()
+    nx, ny, nz = args.size
+
+    from otmb_tpu.models.transport import assemble_transport
+    from otmb_tpu.ops.stencil_pallas import (
+        _resolve_variant,
+        apply_stencil_pallas,
+    )
+    from otmb_tpu.ops.tridiag_pallas import tridiag_solve_pallas
+    from otmb_tpu.utils.synthetic import synthetic_device_case
+
+    print(f"devices={jax.devices()} grid={nx}x{ny}x{nz}", flush=True)
+    gm, wet, umo, vmo, ml = synthetic_device_case(
+        nx, ny, nz, topology="tripolar", dtype=jnp.float32, seed=1
+    )
+    topo = gm.topology
+    variant = _resolve_variant("auto", topo, 4)
+    print(f"variant at this size: {variant}", flush=True)
+    coeffs = jax.jit(
+        lambda g, w, u, v, m: assemble_transport(u, v, m, g, w).T
+    )(gm, wet, umo, vmo, ml)
+    jax.block_until_ready(coeffs)
+    chi = jnp.where(wet, jnp.float32(1.0), jnp.float32(0.0))
+    gm = umo = vmo = ml = None
+
+    def stage(n, name, fn):
+        if args.stage and args.stage != n:
+            return
+        print(f"stage {n}: {name} ...", flush=True)
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            jax.block_until_ready(out)
+            finite = bool(jnp.isfinite(jnp.sum(out)))
+            print(f"stage {n}: PASS {time.perf_counter()-t0:.1f}s "
+                  f"finite={finite}", flush=True)
+        except Exception as e:
+            print(f"stage {n}: FAIL {type(e).__name__}: {str(e)[:400]}",
+                  flush=True)
+            sys.exit(1)
+
+    # 1. blocked apply kernel in a while_loop
+    @jax.jit
+    def wl_apply(cf, c):
+        def cond(st):
+            return st[1] < args.iters
+
+        def body(st):
+            c, i = st
+            return (apply_stencil_pallas(cf, c, topo)
+                    + jnp.float32(1e-6) * c, i + 1)
+
+        out, _ = jax.lax.while_loop(cond, body, (c, jnp.int32(0)))
+        return out
+
+    stage(1, "j-blocked apply in while_loop", lambda: wl_apply(coeffs, chi))
+
+    # 2. Thomas kernel in a while_loop
+    guarded = jnp.where(coeffs.diag != 0, coeffs.diag, jnp.float32(1.0))
+
+    @jax.jit
+    def wl_thomas(lo, di, up, c):
+        def cond(st):
+            return st[1] < args.iters
+
+        def body(st):
+            c, i = st
+            return (tridiag_solve_pallas(lo, di, up, c)
+                    + jnp.float32(1e-6) * c, i + 1)
+
+        out, _ = jax.lax.while_loop(cond, body, (c, jnp.int32(0)))
+        return out
+
+    stage(2, "Thomas kernel in while_loop",
+          lambda: wl_thomas(coeffs.bottom, guarded, coeffs.top, chi))
+
+    # 3. the unguarded production pattern: full BiCGStab while_loop with
+    # blocked matvec + Thomas preconditioner
+    def bicgstab_unguarded():
+        import os
+
+        os.environ["OTMB_ALLOW_BLOCKED_WHILE"] = "1"
+        try:
+            from otmb_tpu.models.solvers import solve_shifted
+
+            surf = jnp.zeros(wet.shape, jnp.float32).at[0].set(1.0)
+            surf = jnp.where(wet, surf, 0.0)
+            ones = jnp.where(wet, jnp.float32(1.0), 0.0)
+            x, res = solve_shifted(
+                coeffs, ones, topo, shift=jnp.float32(0.0), extra_diag=surf,
+                tol=1e-3, maxiter=args.bicgstab_maxiter,
+                apply_impl="pallas",
+            )
+            print(f"  bicgstab residual: {float(res):.3e}", flush=True)
+            return x
+        finally:
+            del os.environ["OTMB_ALLOW_BLOCKED_WHILE"]
+
+    stage(3, "full BiCGStab while_loop (blocked matvec + Thomas M)",
+          bicgstab_unguarded)
+
+    print("ALL STAGES PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
