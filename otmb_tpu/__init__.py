@@ -36,6 +36,7 @@ from .models.redigm import (
     density_slopes,
     potential_density_slopes,
 )
+from .physics.eos import linear_eos, rho_teos10, sigma0_teos10
 from .models.solvers import (
     explicit_euler_propagate,
     ideal_age,
@@ -144,4 +145,7 @@ __all__ = [
     "lump_and_spray",
     "coeffs_to_scipy",
     "synthetic_dataset",
+    "rho_teos10",
+    "sigma0_teos10",
+    "linear_eos",
 ]
