@@ -42,6 +42,7 @@ from .models.solvers import (
     ideal_age,
     implicit_euler_step,
     sequestration_time,
+    solve_shifted_chunked_multi,
     solve_shifted_multi,
     water_mass_fractions,
 )
@@ -130,6 +131,7 @@ __all__ = [
     "ideal_age",
     "sequestration_time",
     "solve_shifted_multi",
+    "solve_shifted_chunked_multi",
     "water_mass_fractions",
     "bolus_gm_velocity",
     "add_bolus_transports",

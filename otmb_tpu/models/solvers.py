@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.sparse.linalg import bicgstab, gmres
 
 from ..grid.topology import GridTopology
@@ -749,10 +750,23 @@ def water_mass_fractions(
     surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
     surf = jnp.where(wet, surf, 0.0)
     bs = jnp.where(wet[None] & masks[:, None, :, :], surf[None], 0.0)
-    fr, res = solve_shifted_multi(
-        coeffs, bs, topology, shift=0.0, extra_diag=surf, tol=tol,
-        apply_impl=apply_impl, preconditioner=preconditioner,
-    )
+    from ..ops.stencil_pallas import blocked_unstable_in_while
+
+    if (apply_impl == "pallas"
+            and blocked_unstable_in_while(topology,
+                                          jnp.dtype(dtype).itemsize)):
+        # Blocked-kernel grid sizes (e.g. 0.25 degree): the while_loop
+        # solver would demote to the jnp matvec; the host-chunked
+        # batched Krylov keeps the fused batched Pallas kernels.
+        fr, res = solve_shifted_chunked_multi(
+            coeffs, bs, topology, shift=0.0, extra_diag=surf, tol=tol,
+            preconditioner=preconditioner,
+        )
+    else:
+        fr, res = solve_shifted_multi(
+            coeffs, bs, topology, shift=0.0, extra_diag=surf, tol=tol,
+            apply_impl=apply_impl, preconditioner=preconditioner,
+        )
     return jnp.where(wet[None], fr, jnp.nan), res
 
 
@@ -924,3 +938,185 @@ def solve_shifted_chunked(
 
     res = final_res(apply_coeffs, shift, extra, x, b)
     return x, res
+
+
+def solve_shifted_chunked_multi(
+    coeffs: StencilCoeffs,
+    bs,
+    topology: GridTopology,
+    shift=0.0,
+    extra_diag=None,
+    tol: float = 1e-10,
+    maxiter: int = 2000,
+    chunk: int = 50,
+    transpose: bool = False,
+    preconditioner: str = "tridiag",
+    interpret: bool | None = None,
+    verbose: bool = False,
+    early_stop: bool = True,
+):
+    """`solve_shifted_multi` with the lockstep batched Krylov loop split
+    into host-controlled fori_loop chunks — the batched analogue of
+    `solve_shifted_chunked`, for grids where the Pallas matvec resolves
+    to the j-blocked kernels (see `blocked_unstable_in_while`: blocked
+    kernels inside `lax.while_loop` crash the TPU worker at production
+    iteration counts, while fori_loop chunks are stable at roofline).
+
+    All B solves share one operator, so the matvec runs through the
+    batched Pallas kernel family (coefficient streams fetched once per k
+    level and shared across the batch: per-solve traffic 2 + 7/B streams
+    instead of 9) — this keeps `water_mass_fractions` on the fused
+    batched kernels at the 0.25-degree scale-out size instead of the
+    ~1.5x-slower jnp matvec. Same contract as `solve_shifted_multi`:
+    `bs` is (B, nz, ny, nx); returns (xs, residuals) with residuals
+    shape (B,), recomputed from scratch. The chunk boundary checks EVERY
+    batch member's recurrence residual and stops only when all meet
+    `tol` (converged members idle harmlessly through the zero-division
+    guards, exactly as in `_bicgstab_matrix_free_multi`).
+    """
+    from functools import partial as _partial
+
+    from ..ops.apply import transpose_coeffs
+    from ..ops.stencil_pallas import (
+        _default_interpret,
+        apply_stencil_pallas_multi,
+    )
+
+    if interpret is None:
+        interpret = _default_interpret()
+    bs = jnp.asarray(bs)
+    if bs.ndim != 4:
+        raise ValueError(f"bs must be (B, nz, ny, nx); got {bs.shape}")
+    shift = jnp.asarray(shift, bs.dtype)
+    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+    apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
+
+    shifted_diag = shift + extra + coeffs.diag
+    if preconditioner == "tridiag":
+        if transpose:
+            from ..grid.topology import neighbor_values as _nv
+
+            m_coeffs = coeffs._replace(
+                top=_nv(coeffs.bottom, "top", topology, fill=0.0),
+                bottom=_nv(coeffs.top, "bottom", topology, fill=0.0),
+            )
+        else:
+            m_coeffs = coeffs
+    elif preconditioner == "jacobi":
+        m_coeffs = coeffs  # unused by the Jacobi M; threaded for symmetry
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
+
+    axes = (1, 2, 3)
+    dot = lambda u, v: jnp.sum(u * v, axis=axes)  # (B,); fields are real
+    bx = lambda s: s[:, None, None, None]
+
+    # Device arrays as jit ARGUMENTS, donated Krylov state — same memory
+    # discipline as solve_shifted_chunked (multi-GB fields at 0.25 deg).
+    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(5,))
+    def run_chunk(c_l, mc_l, md_l, shift_l, extra_l, state, nsteps: int):
+        if preconditioner == "tridiag":
+            # Fused Pallas Thomas kernel, vmapped over the batch (the
+            # batch axis becomes an outer grid dimension; coefficient
+            # blocks are re-fetched per member, but the preconditioner
+            # is 5 streams vs the jnp scans' ~9 either way).
+            from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+            guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+
+            def M(vs):
+                return jax.vmap(
+                    lambda v: tridiag_solve_pallas(
+                        mc_l.bottom, guarded, mc_l.top, v,
+                        interpret=interpret,
+                    )
+                )(vs)
+        else:
+            M1 = _jacobi_preconditioner(md_l)
+            M = M1  # elementwise; broadcasts over the batch
+
+        def a_op(xs):
+            txs = apply_stencil_pallas_multi(c_l, xs, topology, interpret)
+            return shift_l * xs + extra_l * xs + txs
+
+        def body(_, st):
+            xs, r, p, rhat0, rho = st
+            phat = M(p)
+            v = a_op(phat)
+            denom = dot(rhat0, v)
+            alpha = rho / jnp.where(denom == 0, 1.0, denom)
+            s = r - bx(alpha) * v
+            shat = M(s)
+            t = a_op(shat)
+            tt = dot(t, t)
+            omega = dot(t, s) / jnp.where(tt == 0, 1.0, tt)
+            xs = xs + bx(alpha) * phat + bx(omega) * shat
+            r = s - bx(omega) * t
+            rho_new = dot(rhat0, r)
+            beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
+                alpha / jnp.where(omega == 0, 1.0, omega)
+            )
+            p = r + bx(beta) * (p - bx(omega) * v)
+            return (xs, r, p, rhat0, rho_new)
+
+        state = jax.lax.fori_loop(0, nsteps, body, state)
+        rnorm2 = dot(state[1], state[1])
+        return state, rnorm2
+
+    bnorm2 = dot(bs, bs)
+    atol2 = np.asarray((tol ** 2) * bnorm2)
+    x0 = jnp.zeros_like(bs)
+    # Fresh buffers for r/p/rhat0: the chunk jit DONATES its state.
+    state = (x0, bs + 0.0, bs + 0.0, bs + 0.0, dot(bs, bs))
+    iters = 0
+    chunks_done = 0
+    window_rn2 = None
+    while iters < maxiter:
+        nsteps = min(chunk, maxiter - iters)
+        state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
+                                  shift, extra, state, nsteps)
+        iters += nsteps
+        rn2 = np.asarray(rnorm2)
+        if verbose:
+            import sys as _sys
+
+            rel = np.sqrt(rn2 / np.where(np.asarray(bnorm2) == 0, 1.0,
+                                         np.asarray(bnorm2)))
+            print(f"#   chunked-multi iter {iters}: rel recurrence "
+                  f"residuals {np.array2string(rel, precision=2)}",
+                  file=_sys.stderr)
+        if bool((rn2 <= atol2).all()):
+            break
+        # Cumulative 3-chunk-window early stop on the WORST member (same
+        # rationale as solve_shifted_chunked).
+        chunks_done += 1
+        if early_stop and chunks_done % 3 == 0:
+            if window_rn2 is not None and bool(
+                    (rn2 >= (0.98 ** 2) * window_rn2).all()):
+                import warnings
+
+                worst = float(np.sqrt(
+                    (rn2 / np.where(np.asarray(bnorm2) == 0, 1.0,
+                                    np.asarray(bnorm2))).max()))
+                warnings.warn(
+                    f"solve_shifted_chunked_multi: worst relative "
+                    f"residual {worst:.3e} after {iters} iterations "
+                    f"improved <2% over the last {3 * chunk} iterations "
+                    f"— likely the f32 rounding floor; wrap in "
+                    f"solve_shifted_ir or pass early_stop=False.",
+                    stacklevel=2,
+                )
+                break
+            window_rn2 = rn2
+    xs = state[0]
+
+    @jax.jit
+    def final_res(c_l, shift_l, extra_l, xs_l, bs_l):
+        axs = (shift_l * xs_l + extra_l * xs_l
+               + apply_stencil_pallas_multi(c_l, xs_l, topology, interpret))
+        r = axs - bs_l
+        bn = jnp.sqrt(dot(bs_l, bs_l))
+        return jnp.sqrt(dot(r, r)) / jnp.where(bn == 0, 1.0, bn)
+
+    res = final_res(apply_coeffs, shift, extra, xs, bs)
+    return xs, res

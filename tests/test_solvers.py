@@ -494,3 +494,113 @@ def test_tridiag_pallas_solves_the_system(ops, gridmetrics, indices):
     xn = np.concatenate([x[1:], np.zeros_like(x[:1])], axis=0)  # x[k+1]
     resid = upper * xp + guarded * x + lower * xn - b
     assert np.abs(resid).max() < 1e-10
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_chunked_multi_matches_per_rhs(ops, gridmetrics, indices, transpose):
+    """The host-chunked BATCHED Krylov (fori_loop chunks of the batched
+    Pallas matvec + vmapped Pallas Thomas preconditioner — the
+    0.25-degree path of water_mass_fractions) matches per-RHS chunked
+    solves."""
+    from otmb_tpu.models.solvers import (
+        solve_shifted_chunked,
+        solve_shifted_chunked_multi,
+    )
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(17)
+    B = 3
+    bs = np.stack([
+        np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+        for _ in range(B)
+    ]).astype(np.float64)
+
+    xs, res = solve_shifted_chunked_multi(
+        ops.T, bs, topo, shift=1e-4, tol=1e-12, chunk=7,
+        transpose=transpose,
+    )
+    assert res.shape == (B,)
+    assert float(np.max(np.asarray(res))) < 1e-10
+    for b in range(B):
+        x1, r1 = solve_shifted_chunked(
+            ops.T, bs[b], topo, shift=1e-4, tol=1e-12, chunk=7,
+            transpose=transpose,
+        )
+        assert float(r1) < 1e-10
+        np.testing.assert_allclose(
+            np.asarray(xs[b]), np.asarray(x1), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_chunked_multi_blocked_variant(ops, gridmetrics, indices, monkeypatch):
+    """Same parity with the batched matvec FORCED onto the j-blocked
+    multi kernel (the actual kernel used at 0.25-degree scale), by
+    shrinking the VMEM predicate — interpret mode."""
+    from otmb_tpu.ops import stencil_pallas
+    from otmb_tpu.models.solvers import (
+        solve_shifted_chunked,
+        solve_shifted_chunked_multi,
+    )
+
+    monkeypatch.setattr(stencil_pallas, "_multi_vmem_ok",
+                        lambda *a, **k: False)
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(23)
+    B = 2
+    bs = np.stack([
+        np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+        for _ in range(B)
+    ]).astype(np.float64)
+
+    xs, res = solve_shifted_chunked_multi(
+        ops.T, bs, topo, shift=1e-4, tol=1e-10, chunk=10,
+    )
+    assert float(np.max(np.asarray(res))) < 1e-8
+    for b in range(B):
+        x1, r1 = solve_shifted_chunked(
+            ops.T, bs[b], topo, shift=1e-4, tol=1e-10, chunk=10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(xs[b]), np.asarray(x1), rtol=1e-5, atol=1e-8
+        )
+
+
+def test_water_mass_fractions_chunked_route(ops, gridmetrics, indices,
+                                            monkeypatch):
+    """water_mass_fractions at blocked-kernel grid sizes routes to the
+    chunked batched Krylov and still returns a surface-partition family
+    whose fractions sum to ~1 in the ventilated interior."""
+    from otmb_tpu.models import solvers as solvers_mod
+    from otmb_tpu.ops import stencil_pallas
+
+    # Pretend this grid size is blocked on a real TPU.
+    monkeypatch.setattr(stencil_pallas, "blocked_unstable_in_while",
+                        lambda *a, **k: True)
+    called = {}
+    orig = solvers_mod.solve_shifted_chunked_multi
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(solvers_mod, "solve_shifted_chunked_multi", spy)
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ny, nx = wet.shape[1:]
+    masks = np.zeros((2, ny, nx), bool)
+    masks[0, : ny // 2] = True
+    masks[1, ny // 2:] = True
+
+    fr, res = solvers_mod.water_mass_fractions(
+        ops.T, wet, topo, masks, tol=1e-8, apply_impl="pallas",
+    )
+    assert called.get("yes")
+    assert float(np.max(np.asarray(res))) < 1e-6
+    total = np.asarray(jnp.nansum(fr, axis=0))
+    interior = np.asarray(wet) & (np.abs(np.asarray(fr[0])) >= 0)
+    # fractions of a surface partition sum to ~1 on wet cells
+    assert np.nanmax(np.abs(total[np.asarray(wet)] - 1.0)) < 1e-3
