@@ -194,7 +194,10 @@ def solve_shifted(
             tol=tol, maxiter=maxiter, transpose=transpose,
             preconditioner=preconditioner,
         )
-    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+    # Cast to the RHS dtype: a wide extra_diag (e.g. f64 under x64)
+    # must not silently promote the whole Krylov recurrence.
+    extra = (0.0 if extra_diag is None
+             else jnp.asarray(extra_diag, b.dtype))
     if apply_impl == "pallas":
         from ..ops.stencil_pallas import blocked_unstable_in_while
 
@@ -356,6 +359,15 @@ def solve_shifted_ir(
     it the loop degrades to restarted f32 refinement (still tighter than
     a single solve) and a warning is issued. Returns (x_wide, rel_residual).
 
+    bf16-narrow mode: pass COEFFICIENTS cast to bfloat16 (e.g. via
+    `jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), coeffs)`)
+    and the inner solves stream 7 bf16 coefficient planes instead of f32
+    — nearly halving the dominant matvec traffic — while the Krylov
+    vectors stay f32 and the f64 defect correction still converges to
+    `tol` AGAINST THE bf16-ROUNDED OPERATOR (which differs from the f32
+    one by ~0.4% coefficient rounding; choose the width to match the
+    accuracy the application needs).
+
     The refinement loop runs on the host (one compiled defect step + one
     compiled inner solve per refinement, a scalar fetch in between): a
     fully fused nested-while formulation overflows CPython's C-stack
@@ -372,6 +384,13 @@ def solve_shifted_ir(
         )
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     narrow = coeffs.diag.dtype
+    # bf16-narrow mode: bf16 COEFFICIENT streams halve the dominant
+    # matvec traffic of the inner solves, but the Krylov recurrence
+    # vectors themselves must stay f32 — a bf16 recurrence floors near
+    # 1e-2 and refinement would stagnate. So the inner right-hand side
+    # (and hence the whole Krylov state) is kept at >= f32 while the
+    # operator coefficients stream at whatever width they were given.
+    narrow_vec = jnp.float32 if narrow == jnp.bfloat16 else narrow
 
     b_wide = jnp.asarray(b).astype(wide)
     extra_wide = (
@@ -441,7 +460,7 @@ def solve_shifted_ir(
             )
             break
         rel_prev = float(rel)
-        rhs = r_hat.astype(narrow)
+        rhs = r_hat.astype(narrow_vec)
         r_hat = None  # the wide defect (0.9 GB at 0.25-degree) is spent
         if chunked_inner:
             d, _ = solve_shifted_chunked(
@@ -650,7 +669,10 @@ def solve_shifted_multi(
     if bs.ndim != 4:
         raise ValueError(f"bs must be (B, nz, ny, nx); got {bs.shape}")
     shift = jnp.asarray(shift, bs.dtype)
-    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+    # Cast to the RHS dtype: a wide extra_diag (e.g. f64 under x64)
+    # must not silently promote the whole Krylov recurrence.
+    extra = (0.0 if extra_diag is None
+             else jnp.asarray(extra_diag, bs.dtype))
 
     apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
 
@@ -809,7 +831,10 @@ def solve_shifted_chunked(
         interpret = _default_interpret()
     b = jnp.asarray(b)
     shift = jnp.asarray(shift, b.dtype)
-    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+    # Cast to the RHS dtype: a wide extra_diag (e.g. f64 under x64)
+    # must not silently promote the whole Krylov recurrence.
+    extra = (0.0 if extra_diag is None
+             else jnp.asarray(extra_diag, b.dtype))
     apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
 
     shifted_diag = shift + extra + coeffs.diag
@@ -988,7 +1013,10 @@ def solve_shifted_chunked_multi(
     if bs.ndim != 4:
         raise ValueError(f"bs must be (B, nz, ny, nx); got {bs.shape}")
     shift = jnp.asarray(shift, bs.dtype)
-    extra = 0.0 if extra_diag is None else jnp.asarray(extra_diag)
+    # Cast to the RHS dtype: a wide extra_diag (e.g. f64 under x64)
+    # must not silently promote the whole Krylov recurrence.
+    extra = (0.0 if extra_diag is None
+             else jnp.asarray(extra_diag, bs.dtype))
     apply_coeffs = transpose_coeffs(coeffs, topology) if transpose else coeffs
 
     shifted_diag = shift + extra + coeffs.diag

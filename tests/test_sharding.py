@@ -640,3 +640,51 @@ def test_halo_pallas_multi_matches_single(mesh, dataset, gridmetrics,
             coeffs_sh, chi_sh, 300.0, 4, topo, mesh, overlap=overlap
         ))
         np.testing.assert_array_equal(out_p[b], ref)
+
+
+def test_sharded_ir_bf16_narrow(mesh, dataset, gridmetrics, indices):
+    """bf16-narrow iterative refinement with the SHARDED inner solve:
+    bf16 coefficient streams through the shard-map halo-Pallas Krylov,
+    f32 Krylov vectors, f64 defect correction — residual reaches far
+    below both bf16 and f32 floors against the promoted bf16 operator."""
+    import jax.numpy as jnp
+
+    from otmb_tpu.models.solvers import solve_shifted_ir
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+
+    c16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), ops.T)
+    c16_sh = shard_pytree(mesh, c16)
+    ones = np.where(wet, 1.0, 0.0)
+    surf = np.zeros(wet.shape)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+    b_sh = jax.device_put(ones, sharding_for(mesh, ones))
+    surf_sh = jax.device_put(surf, sharding_for(mesh, surf))
+
+    x, res = solve_shifted_ir(
+        c16_sh, b_sh, topo, extra_diag=surf_sh, tol=1e-9,
+        max_refinements=25, apply_impl="pallas", mesh=mesh,
+    )
+    assert float(res) < 1e-9
+    assert x.dtype == jnp.float64
+
+    # agrees with the unsharded bf16-narrow refined solve
+    x_ref, res_ref = solve_shifted_ir(
+        c16, ones, topo, extra_diag=surf, tol=1e-9, max_refinements=25,
+    )
+    assert float(res_ref) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(x)[wet], np.asarray(x_ref)[wet], rtol=1e-6, atol=1e-4
+    )

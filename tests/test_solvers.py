@@ -604,3 +604,67 @@ def test_water_mass_fractions_chunked_route(ops, gridmetrics, indices,
     interior = np.asarray(wet) & (np.abs(np.asarray(fr[0])) >= 0)
     # fractions of a surface partition sum to ~1 on wet cells
     assert np.nanmax(np.abs(total[np.asarray(wet)] - 1.0)) < 1e-3
+
+
+def test_ir_bf16_narrow_coefficients(ops, gridmetrics, indices):
+    """bf16-narrow iterative refinement: bf16 COEFFICIENT streams (half
+    the matvec traffic), f32 Krylov vectors, f64 defect correction. The
+    refined residual must reach far below both the bf16 (~1e-2) and f32
+    (~1e-4) floors against its own (promoted bf16) operator, and the age
+    field must agree with the f32-narrow refined solve to the bf16
+    coefficient-rounding level."""
+    from otmb_tpu.models.solvers import solve_shifted_ir
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ones = np.where(wet, 1.0, 0.0)
+    surf = np.zeros(gridmetrics.shape)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+
+    c16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), ops.T
+    )
+    x16, res16 = solve_shifted_ir(
+        c16, ones, topo, extra_diag=surf, tol=1e-9, max_refinements=25,
+    )
+    assert float(res16) < 1e-9  # vs the promoted bf16 operator
+
+    # inner Krylov state must be f32, not bf16 (the recurrence would
+    # floor near 1e-2 otherwise) — verified by convergence above, and
+    # structurally: the returned iterate is wide
+    assert x16.dtype == jnp.float64
+
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), ops.T)
+    x32, res32 = solve_shifted_ir(
+        c32, ones, topo, extra_diag=surf, tol=1e-9,
+    )
+    assert float(res32) < 1e-9
+    # the two SYSTEMS differ by bf16 coefficient rounding (~4e-3
+    # relative); the solutions inherit that scale of difference
+    a16, a32 = np.asarray(x16)[wet], np.asarray(x32)[wet]
+    denom = np.abs(a32).max()
+    assert np.abs(a16 - a32).max() / denom < 0.05
+
+
+def test_chunked_solver_bf16_coefficients(ops, gridmetrics, indices):
+    """The host-chunked Krylov accepts bf16 coefficient streams with f32
+    Krylov state (the bf16-narrow inner engine at blocked scale) and
+    converges to the bf16 operator's f32-floor."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(41)
+    b = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0).astype(
+        np.float32
+    )
+    c16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), ops.T
+    )
+    x, res = solve_shifted_chunked(
+        c16, jnp.asarray(b), topo, shift=np.float32(1e-4), tol=1e-6,
+        chunk=10,
+    )
+    assert x.dtype == jnp.float32
+    assert float(res) < 1e-5
