@@ -127,8 +127,12 @@ def lump_and_spray(wet3d, vol, T, mask=None, di: int = 2, dj: int = 2,
     assert n == int(wet_ext.sum())
 
     # Connectivity pattern among wet cells from T (pattern only).
+    # T.nonzero() drops explicitly-stored zeros, so its length can be
+    # less than T.nnz — size the data array from the indices themselves.
+    rows_nz, cols_nz = T.nonzero()
     pattern = sp.csr_matrix(
-        (np.ones(T.nnz, dtype=bool), T.nonzero()), shape=T.shape
+        (np.ones(len(rows_nz), dtype=bool), (rows_nz, cols_nz)),
+        shape=T.shape,
     )
     # Symmetrize so components do not depend on flow direction.
     pattern = (pattern + pattern.T).tocsr()

@@ -183,3 +183,78 @@ def test_ideal_age_coarsened_reference_workload(dataset, gridmetrics, indices):
         v @ np.asarray(gamma_full)[wet]
     ) / float(v.sum()) / yr
     assert 0.2 < mean_age_yr / mean_full_yr < 5.0
+
+
+def test_coarse_fine_cross_check(dataset, gridmetrics, indices):
+    """Coarse<->fine physics cross-check, tying C19 (LUMP/SPRAY) + L7
+    (solvers) together the way the reference does
+    (test/local_full.jl:151-188) — with two SHARP invariants that catch
+    coarsening/restoring-mask semantic slips which per-component tests
+    and range checks miss:
+
+    1. identity coarsening (di=dj=dk=1) must reproduce the fine direct
+       solve to machine precision (LUMP = I up to volume weighting);
+    2. a purely VERTICAL operator coarsened 2x2x1 must reproduce the
+       fine ages (columns are decoupled, and horizontal lumping of
+       identical synthetic columns is exact) — the restoring mask, RHS
+       lumping, and spray must all line up for this to hold.
+
+    For the full T, 2x2 lumping on a toy grid is a quarter-basin-scale
+    instant-mixing perturbation, so the volume-mean ages agree only to
+    O(1) (measured ~0.35-0.4x on toy grids; the reference runs this at
+    360x300 where the error is small) — pinned as a band."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve
+
+    from otmb_tpu.models.solvers import ideal_age
+    from otmb_tpu.models.transport import buildTkVML, buildTkVdeep
+    from otmb_tpu.ops.coeffs import add_coeffs
+    from otmb_tpu.utils.coarsen import ideal_age_coarsened
+
+    gm, idx = gridmetrics, indices
+    wet = np.asarray(idx.wet3d)
+    v = wet_vector(np.nan_to_num(np.asarray(gm.v3d)), idx)
+    yr = 365.25 * 86400.0
+
+    phi = facefluxesfrommasstransport(
+        umo=dataset.umo, vmo=dataset.vmo, gridmetrics=gm, indices=idx
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=dataset.mlotst, gridmetrics=gm, indices=idx
+    )
+
+    # fine reference: host direct solve of (T + M) x = 1
+    mat = coeffs_to_scipy(ops.T, idx, gm.topology)
+    issrf = wet.copy()
+    issrf[1:] = False
+    m = sp.diags(wet_vector(issrf.astype(float), idx))
+    g_fine = spsolve((mat + m).tocsc(), np.ones(mat.shape[0]))
+
+    # invariant 1: identity coarsening == fine solve (machine precision)
+    g_id, _, _ = ideal_age_coarsened(
+        ops.T, idx, gm.topology, gm.v3d, di=1, dj=1, dk=1
+    )
+    np.testing.assert_allclose(g_id[wet], g_fine, rtol=1e-10)
+
+    # invariant 2: vertical-only operator, 2x2x1 lumping == fine solve
+    tv = add_coeffs(
+        buildTkVdeep(gridmetrics=gm, indices=idx),
+        buildTkVML(mlotst=dataset.mlotst, gridmetrics=gm, indices=idx),
+    )
+    mat_v = coeffs_to_scipy(tv, idx, gm.topology)
+    gv_fine = spsolve((mat_v + m).tocsc(), np.ones(mat_v.shape[0]))
+    gv_c, _, _ = ideal_age_coarsened(
+        tv, idx, gm.topology, gm.v3d, di=2, dj=2, dk=1
+    )
+    np.testing.assert_allclose(gv_c[wet], gv_fine, rtol=1e-8)
+
+    # full T, 2x2x1: volume-mean band vs the MATRIX-FREE fine solve
+    # (the TPU path), toy-grid coarsening error documented above
+    g_c, _, _ = ideal_age_coarsened(
+        ops.T, idx, gm.topology, gm.v3d, di=2, dj=2, dk=1
+    )
+    g_mf, res = ideal_age(ops.T, idx.wet3d, gm.topology, tol=1e-10)
+    assert float(res) < 1e-7
+    mean_c = float(v @ g_c[wet]) / v.sum() / yr
+    mean_f = float(v @ np.asarray(g_mf)[wet]) / v.sum() / yr
+    assert 0.15 < mean_c / mean_f < 1.1
