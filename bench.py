@@ -34,6 +34,25 @@ BASELINE_POINTS_PER_S = (NX * NY * NZ) / 3.0
 QUARTER_DEGREE = (1440, 1080, 75)
 
 
+class _Tee:
+    """Mirror stderr writes into a buffer so the run's diagnostic lines
+    become the BENCH_LATEST.txt claims artifact (see bench_claims.py)."""
+
+    def __init__(self, stream):
+        self.stream = stream
+        self.chunks = []
+
+    def write(self, s):
+        self.chunks.append(s)
+        return self.stream.write(s)
+
+    def flush(self):
+        self.stream.flush()
+
+    def text(self):
+        return "".join(self.chunks)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--scale", choices=["1deg", "quarter"], default="1deg",
@@ -44,7 +63,29 @@ def main():
                         help="assembly: the headline assembly+apply metric; "
                              "idealage: full-resolution steady-state ideal-"
                              "age solve (mixed-precision refined Krylov)")
+    parser.add_argument("--update-readme", action="store_true",
+                        help="regenerate the README perf table from "
+                             "BENCH_LATEST.txt and exit")
+    parser.add_argument("--check-readme", action="store_true",
+                        help="exit nonzero if the README perf table has "
+                             "drifted from BENCH_LATEST.txt")
     args = parser.parse_args()
+    if args.update_readme:
+        import bench_claims
+
+        bench_claims.update_readme()
+        return
+    if args.check_readme:
+        import bench_claims
+
+        raise SystemExit(bench_claims.check_readme())
+
+    # The canonical default run (1-degree assembly, which also emits the
+    # 0.25-degree sections) is the claims artifact.
+    tee = None
+    if args.scale == "1deg" and args.workload == "assembly":
+        tee = _Tee(sys.stderr)
+        sys.stderr = tee
     nx, ny, nz = (NX, NY, NZ) if args.scale == "1deg" else QUARTER_DEGREE
 
     import jax
@@ -511,6 +552,32 @@ def main():
         finally:
             jax.config.update("jax_enable_x64", False)
 
+        # Batched water-mass fractions at 1 degree: ONE lockstep batched
+        # Krylov for a 4-region surface partition through the batched
+        # Pallas matvec (the production water_mass_fractions path;
+        # validated on-chip round 4 — the batched carry kernel inside
+        # the Krylov while_loop is stable at this size).
+        try:
+            R = 4
+            masks = np.zeros((R, ny, nx), bool)
+            for r in range(R):
+                masks[r, r * ny // R: (r + 1) * ny // R] = True
+            t0 = time.perf_counter()
+            fr, res_f = otmb.water_mass_fractions(
+                coeffs, wet3d, topo, masks, tol=1e-4, apply_impl="pallas"
+            )
+            res_fmax = float(np.max(np.asarray(res_f)))
+            t_frac = time.perf_counter() - t0
+            fr = None
+            print(
+                f"# batched water-mass fractions (R={R}, 1-degree): "
+                f"{t_frac:.2f} s, max rel residual {res_fmax:.1e}",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# batched fractions line unavailable: {e}",
+                  file=sys.stderr)
+
     if args.scale == "1deg":
         # Scale-out-sized single-chip diagnostics: the 0.25-degree grid
         # (j-blocked kernels), one slope pass each, so every BENCH_r*.json
@@ -699,15 +766,27 @@ def main():
             # Full 0.25-degree ideal-age steady state with MIXED-
             # PRECISION refinement: f32 BiCGStab passes through the
             # host-CHUNKED Krylov (fori_loop chunks of the j-blocked
-            # matvec; while_loop + blocked kernels crash this TPU
-            # runtime) wrapped in f64 defect correction — the f32-only
-            # solve floors at ~1e-3 relative residual here, refinement
-            # reaches the requested 1e-5. A jnp-matvec retry covers a
-            # chunked-path fault. The reference's headline workload
-            # needed ~3 min on a 4x-COARSENED 1-degree matrix; this is
-            # the uncoarsened quarter-degree grid. Runs LAST in this
+            # matvec; while_loop + that kernel crashes the worker at
+            # production iteration counts) wrapped in f64 defect
+            # correction — the f32-only solve floors at ~1e-3 relative
+            # residual here, refinement reaches the requested 1e-5. The
+            # retry ladder ends at the f32-only chunked solve (x64 off,
+            # no refinement), which ALWAYS reports a number; every
+            # failure prints its full traceback (round-3 lesson: the
+            # swallowed exception type hid a Mosaic compile bug for a
+            # whole round). The reference's headline workload needed
+            # ~3 min on a 4x-COARSENED 1-degree matrix; this is the
+            # uncoarsened quarter-degree grid. Runs LAST in this
             # section: a TPU-worker fault here must not cost the lines
             # above.
+            import traceback as _tb
+
+            def _print_failure(label, exc):
+                print(f"# 0.25-degree {label} failed — full error:",
+                      file=sys.stderr)
+                for ln in _tb.format_exc(limit=12).splitlines()[-14:]:
+                    print(f"#   {ln}", file=sys.stderr)
+
             try:
                 qcoeffs = jax.jit(
                     lambda g, w, u, v, m: assemble_transport(u, v, m, g, w).T
@@ -716,27 +795,33 @@ def main():
                 # Free the build inputs: the f64 refinement state at this
                 # size needs the ~3 GB they hold.
                 qgm = qumo = qvmo = qml = qchi = None
-                jax.config.update("jax_enable_x64", True)
-                impl_used = "refined pallas (chunked)"
-                t0 = time.perf_counter()
+                rq = None
                 try:
+                    jax.config.update("jax_enable_x64", True)
+                    impl_used = "refined chunked-pallas"
+                    t0 = time.perf_counter()
                     gamma_q, res_q = otmb.ideal_age(
                         qcoeffs, qwet, qtopo, tol=1e-5,
                         apply_impl="pallas", refine=True,
                     )
                     rq = float(res_q)
+                    tq_age = time.perf_counter() - t0
                 except Exception as e:
-                    print(f"# 0.25-degree refined-pallas age failed "
-                          f"({type(e).__name__}); retrying with jnp matvec",
-                          file=sys.stderr)
-                    impl_used = "refined jnp"
+                    _print_failure("refined chunked-pallas age", e)
+                finally:
+                    jax.config.update("jax_enable_x64", False)
+                if rq is None:
+                    # Final rung: the f32-only chunked solve (x64 off) —
+                    # the configuration that has always completed on this
+                    # hardware; floors near 1e-3 but reports a number.
+                    impl_used = "f32-only chunked-pallas"
                     t0 = time.perf_counter()
                     gamma_q, res_q = otmb.ideal_age(
-                        qcoeffs, qwet, qtopo, tol=1e-5, apply_impl="jnp",
-                        refine=True,
+                        qcoeffs, qwet, qtopo, tol=1e-3,
+                        apply_impl="pallas", refine=False,
                     )
                     rq = float(res_q)
-                tq_age = time.perf_counter() - t0
+                    tq_age = time.perf_counter() - t0
                 mean_q = float(jnp.nanmean(gamma_q)) / (86400 * 365.25)
                 print(
                     f"# 0.25-degree ideal-age steady state (f32 Krylov + "
@@ -745,12 +830,73 @@ def main():
                     f"{rq:.1e}, mean age {mean_q:.1f} yr",
                     file=sys.stderr,
                 )
-                gamma_q = qcoeffs = None
+                gamma_q = None
+
+                # Batched fractions at 0.25 degree: fixed-iteration
+                # throughput of the chunked BATCHED Krylov (the
+                # water_mass_fractions engine at this size) vs the
+                # single-RHS chunked solver. R=2 keeps the batched
+                # Krylov working set (~9 grid vectors per member)
+                # inside 16 GB HBM alongside the coefficients.
+                try:
+                    from otmb_tpu.models.solvers import (
+                        solve_shifted_chunked,
+                        solve_shifted_chunked_multi,
+                    )
+
+                    R, q_iters = 2, 150
+                    qny_f, qnx_f = qwet.shape[1:]
+                    qsurf = jnp.where(
+                        qwet,
+                        jnp.zeros(qwet.shape, jnp.float32).at[0].set(1.0),
+                        0.0,
+                    )
+                    qmask = np.zeros((R, qny_f, qnx_f), bool)
+                    qmask[0, : qny_f // 2] = True
+                    qmask[1, qny_f // 2:] = True
+                    qbs = jnp.where(
+                        jnp.asarray(qwet)[None] & jnp.asarray(qmask)[:, None],
+                        qsurf[None], 0.0,
+                    )
+                    # warm-up (compile) then fixed-work timing
+                    solve_shifted_chunked_multi(
+                        qcoeffs, qbs, qtopo, extra_diag=qsurf, tol=1e-30,
+                        maxiter=50, early_stop=False,
+                    )
+                    t0 = time.perf_counter()
+                    xs_q, _ = solve_shifted_chunked_multi(
+                        qcoeffs, qbs, qtopo, extra_diag=qsurf, tol=1e-30,
+                        maxiter=q_iters, early_stop=False,
+                    )
+                    jax.block_until_ready(xs_q)
+                    t_bat = time.perf_counter() - t0
+                    xs_q = None
+                    solve_shifted_chunked(
+                        qcoeffs, qbs[0], qtopo, extra_diag=qsurf, tol=1e-30,
+                        maxiter=50, early_stop=False,
+                    )
+                    t0 = time.perf_counter()
+                    x1_q, _ = solve_shifted_chunked(
+                        qcoeffs, qbs[0], qtopo, extra_diag=qsurf, tol=1e-30,
+                        maxiter=q_iters, early_stop=False,
+                    )
+                    jax.block_until_ready(x1_q)
+                    t_one = time.perf_counter() - t0
+                    x1_q = qbs = None
+                    print(
+                        f"# 0.25-degree batched fractions (R={R}, chunked, "
+                        f"{q_iters} iters): {t_bat:.1f} s = "
+                        f"{1e3 * t_bat / q_iters:.1f} ms/iter = "
+                        f"{1e3 * t_bat / q_iters / R:.1f} ms/iter/tracer "
+                        f"(single-RHS chunked: "
+                        f"{1e3 * t_one / q_iters:.1f} ms/iter)",
+                        file=sys.stderr,
+                    )
+                except Exception as e:
+                    _print_failure("batched fractions", e)
+                qcoeffs = None
             except Exception as e:
-                print(f"# 0.25-degree ideal-age unavailable: {e}",
-                      file=sys.stderr)
-            finally:
-                jax.config.update("jax_enable_x64", False)
+                _print_failure("ideal-age section", e)
         except Exception as e:
             print(f"# 0.25-degree diagnostics unavailable: {e}",
                   file=sys.stderr)
@@ -758,6 +904,33 @@ def main():
     t_total = t_assembly + t_pallas
     value = ncells / t_total
     grid_name = "ACCESS 1° grid" if args.scale == "1deg" else "ACCESS-OM2 0.25° grid"
+
+    if tee is not None:
+        # Persist this run's diagnostics as the claims artifact and
+        # check the README against it (round-3 lesson: a README perf row
+        # with no backing artifact must not survive a bench run quietly).
+        from pathlib import Path
+
+        sys.stderr = tee.stream
+        Path(__file__).resolve().parent.joinpath(
+            "BENCH_LATEST.txt"
+        ).write_text(tee.text())
+        try:
+            import bench_claims
+
+            if bench_claims.check_readme() != 0:
+                print(
+                    "# WARNING: README perf table drifted from this run; "
+                    "run `python bench.py --update-readme`",
+                    file=sys.stderr,
+                )
+            else:
+                print("# README perf table verified against this run",
+                      file=sys.stderr)
+        except SystemExit as e:
+            print(f"# WARNING: README claims check failed: {e}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": f"grid-points/s operator assembly+apply on {grid_name}",
         "value": value,

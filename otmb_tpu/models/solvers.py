@@ -915,12 +915,27 @@ def solve_shifted_chunked(
     iters = 0
     chunks_done = 0
     window_rn2 = float("inf")
+    # Best-iterate tracking: BiCGStab recurrences on this operator can
+    # DIVERGE transiently (omega breakdowns push the recurrence residual
+    # orders of magnitude above ||b||, observed in the round-3 0.25-
+    # degree refinement logs). Returning the best chunk-boundary iterate
+    # instead of the last makes a diverged pass harmless — in the worst
+    # case x stays at the best earlier iterate, never garbage. One extra
+    # grid vector + one device copy per improving chunk (~1 ms at 0.25
+    # degree against ~600 ms of chunk compute).
+    # Separate allocation: x0 itself sits in the donated state tuple and
+    # its buffer dies inside the first run_chunk call.
+    best_x = jnp.zeros_like(b)
+    best_rn2 = float(jnp.vdot(b, b).real)  # residual at x0 = 0 is b
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
                                   shift, extra, state, nsteps)
         iters += nsteps
         rn2 = float(rnorm2)
+        if rn2 < best_rn2:
+            best_rn2 = rn2
+            best_x = state[0] + 0.0  # copy: state is donated next chunk
         if verbose:
             import sys as _sys
 
@@ -951,7 +966,7 @@ def solve_shifted_chunked(
                 break
             window_rn2 = rn2
 
-    x = state[0]
+    x = best_x if best_rn2 < float(rnorm2) else state[0]
 
     @jax.jit
     def final_res(c_l, shift_l, extra_l, x_l, b_l):
@@ -1099,11 +1114,27 @@ def solve_shifted_chunked_multi(
     iters = 0
     chunks_done = 0
     window_rn2 = None
+
+    # Per-member best-iterate tracking (see solve_shifted_chunked):
+    # members whose recurrence diverges transiently keep their best
+    # chunk-boundary iterate while the others keep improving.
+    @jax.jit
+    def keep_best(best_xs, best_rn2_d, xs_now, rn2_now):
+        better = rn2_now < best_rn2_d
+        sel = better[:, None, None, None]
+        return (jnp.where(sel, xs_now, best_xs),
+                jnp.where(better, rn2_now, best_rn2_d))
+
+    # Separate allocation: x0 itself sits in the donated state tuple and
+    # its buffer dies inside the first run_chunk call.
+    best_xs = jnp.zeros_like(bs)
+    best_rn2 = dot(bs, bs)  # residual at x0 = 0 is b
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
                                   shift, extra, state, nsteps)
         iters += nsteps
+        best_xs, best_rn2 = keep_best(best_xs, best_rn2, state[0], rnorm2)
         rn2 = np.asarray(rnorm2)
         if verbose:
             import sys as _sys
@@ -1136,7 +1167,7 @@ def solve_shifted_chunked_multi(
                 )
                 break
             window_rn2 = rn2
-    xs = state[0]
+    xs = best_xs
 
     @jax.jit
     def final_res(c_l, shift_l, extra_l, xs_l, bs_l):

@@ -133,7 +133,13 @@ def solve_shifted_halo_pallas(
         if preconditioner == "tridiag":
             # Shard-local fused Pallas Thomas kernel (k is never
             # sharded, so each shard solves its own full columns):
-            # 5 HBM streams per apply vs the jnp scans' ~9.
+            # 5 HBM streams per apply vs the jnp scans' ~9. Running a
+            # multi-program Pallas kernel inside this while_loop is
+            # deliberate and TESTED: unlike the j-blocked stencil
+            # kernel (see stencil_pallas.blocked_unstable_in_while),
+            # the Thomas kernel survived a 4000-iteration while_loop at
+            # the full 0.25-degree size on v5e (round-4 experiment;
+            # 7.3 ms/iter, no worker fault).
             from ..ops.tridiag_pallas import tridiag_solve_pallas
 
             gd = jnp.where(shifted_diag != 0, shifted_diag,

@@ -30,7 +30,11 @@ History:
 
 Stages:
   1. j-blocked apply kernel alone in a 30-iteration while_loop
-  2. fused Thomas kernel alone in a 30-iteration while_loop
+  2. fused Thomas kernel alone in a 30-iteration while_loop (a separate
+     round-4 experiment ran this kernel 4000 while_loop iterations at
+     the full 0.25-degree size without a fault — the crash is specific
+     to the j-blocked stencil kernel, so the sharded solver's Pallas
+     Thomas preconditioner stays on the while_loop path)
   3. the full production pattern: BiCGStab while_loop with the blocked
      Pallas matvec + Pallas Thomas preconditioner (what `solve_shifted`
      would run at 0.25 degree without the guard); --bicgstab-maxiter

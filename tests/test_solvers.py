@@ -668,3 +668,39 @@ def test_chunked_solver_bf16_coefficients(ops, gridmetrics, indices):
     )
     assert x.dtype == jnp.float32
     assert float(res) < 1e-5
+
+
+def test_chunked_best_iterate_on_divergence(ops, gridmetrics, indices):
+    """A transiently-diverging BiCGStab recurrence (skew-dominant
+    operator, the omega-breakdown staller) must never return an iterate
+    worse than x0 = 0: best-iterate tracking returns the best
+    chunk-boundary iterate, so the recomputed relative residual stays
+    <= 1 even with early_stop disabled and the recurrence blowing up."""
+    from otmb_tpu.models.solvers import (
+        solve_shifted_chunked,
+        solve_shifted_chunked_multi,
+    )
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d).astype(np.float32)
+    z = jnp.zeros_like(ops.T.diag, dtype=jnp.float32)
+    w = jnp.asarray(wet)
+    skew = ops.T._replace(
+        diag=z + 1e-6 * w, east=z + w, west=z - w, north=z, south=z,
+        top=z, bottom=z,
+    )
+    rng = np.random.default_rng(5)
+    b = (wet * rng.standard_normal(wet.shape)).astype(np.float32)
+    _, res = solve_shifted_chunked(
+        skew, b, topo, shift=np.float32(0.0), tol=1e-300,
+        maxiter=300, chunk=10, preconditioner="jacobi", early_stop=False,
+    )
+    assert 0.0 < float(res) <= 1.0 + 1e-5
+
+    bs = np.stack([b, (wet * rng.standard_normal(wet.shape)).astype(
+        np.float32)])
+    _, res_m = solve_shifted_chunked_multi(
+        skew, bs, topo, shift=np.float32(0.0), tol=1e-300,
+        maxiter=300, chunk=10, preconditioner="jacobi", early_stop=False,
+    )
+    assert float(np.max(np.asarray(res_m))) <= 1.0 + 1e-5
