@@ -428,6 +428,15 @@ def solve_shifted_ir(
     rel_prev = float("inf")
     stagnant = 0
     r_hat = d = None
+    # Outer best-iterate tracking: an inner Krylov pass that diverges
+    # (BiCGStab breakdown) would otherwise hand _ir_update a garbage
+    # correction and destroy x for every later pass — observed once at
+    # 0.25 degree (relative residual blew up to ~1e3). Keep the best
+    # iterate seen at a defect evaluation; revert to it when a pass made
+    # things much worse; return it if the final iterate is not the best.
+    best_x = None
+    best_rel = float("inf")
+    best_rel_arr = rel
     for _ in range(max_refinements):
         # Drop the previous pass's defect and correction BEFORE the next
         # wide defect evaluation: at the 0.25-degree scale keeping them
@@ -437,8 +446,22 @@ def solve_shifted_ir(
             coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
             topology, transpose,
         )
-        if float(rel) <= tol:
+        relf = float(rel)
+        if relf < best_rel:
+            best_rel = relf
+            best_rel_arr = rel
+            best_x = x + 0.0  # copy: x is donated by _ir_update below
+        if relf <= tol:
             break
+        if best_x is not None and relf > 4.0 * best_rel:
+            # the last pass diverged; refine from the best iterate, not
+            # from the damaged one
+            x = best_x + 0.0
+            r_hat, s_safe, rel = _ir_defect(
+                coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+                topology, transpose,
+            )
+            relf = float(rel)
         # Each refinement should contract the residual by roughly
         # inner_tol; no contraction means the inner Krylov solve is
         # stagnating (likely exiting at maxiter far from inner_tol).
@@ -446,20 +469,20 @@ def solve_shifted_ir(
         # restart), so only break after TWO consecutive non-contracting
         # passes — then burning the remaining refinements cannot help;
         # stop and tell the caller why the returned residual misses tol.
-        stagnant = stagnant + 1 if float(rel) >= 0.9 * rel_prev else 0
+        stagnant = stagnant + 1 if relf >= 0.9 * rel_prev else 0
         if stagnant >= 2:
             import warnings
 
             warnings.warn(
                 f"solve_shifted_ir: refinement stagnated at relative "
-                f"residual {float(rel):.3e} (previous {rel_prev:.3e}); "
+                f"residual {relf:.3e} (previous {rel_prev:.3e}); "
                 f"the inner {method} solve is likely exiting at "
                 f"maxiter={maxiter} without reaching inner_tol="
                 f"{inner_tol}. Raise maxiter or loosen tol.",
                 stacklevel=2,
             )
             break
-        rel_prev = float(rel)
+        rel_prev = relf
         rhs = r_hat.astype(narrow_vec)
         r_hat = None  # the wide defect (0.9 GB at 0.25-degree) is spent
         if chunked_inner:
@@ -483,6 +506,11 @@ def solve_shifted_ir(
             coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
             topology, transpose,
         )
+        relf = float(rel)
+        if relf < best_rel:
+            best_rel, best_rel_arr, best_x = relf, rel, x
+    if best_x is not None and best_rel < float(rel):
+        return best_x, best_rel_arr
     return x, rel
 
 
@@ -806,6 +834,7 @@ def solve_shifted_chunked(
     interpret: bool | None = None,
     verbose: bool = False,
     early_stop: bool = True,
+    max_restarts: int = 2,
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
@@ -927,6 +956,17 @@ def solve_shifted_chunked(
     # its buffer dies inside the first run_chunk call.
     best_x = jnp.zeros_like(b)
     best_rn2 = float(jnp.vdot(b, b).real)  # residual at x0 = 0 is b
+    restarts = 0
+
+    @jax.jit
+    def restart_from(c_l, md_l, shift_l, extra_l, x_l, b_l):
+        ax = (shift_l * x_l + extra_l * x_l
+              + apply_stencil_pallas(c_l, x_l, topology, interpret))
+        r = b_l - ax
+        # x copied out of best_x's buffer: the returned state is donated
+        # into the next chunk while best_x must survive.
+        return (x_l + 0.0, r, r + 0.0, r + 0.0, jnp.vdot(r, r))
+
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
@@ -952,15 +992,36 @@ def solve_shifted_chunked(
         chunks_done += 1
         if early_stop and chunks_done % 3 == 0:
             if rn2 >= (0.98 ** 2) * window_rn2:
+                if restarts < max_restarts:
+                    # BiCGStab plateaus are usually rhat0 losing its
+                    # overlap with r (near-breakdown omegas). RESTART
+                    # from the best iterate with a fresh Krylov space:
+                    # recompute the true residual r = b - A x_best and
+                    # reset rhat0 = p = r — the standard breakdown
+                    # remedy, one extra matvec per restart.
+                    restarts += 1
+                    state = restart_from(
+                        apply_coeffs, shifted_diag, shift, extra,
+                        best_x, b,
+                    )
+                    window_rn2 = float("inf")
+                    if verbose:
+                        import sys as _sys
+
+                        print(f"#   chunked iter {iters}: window "
+                              f"stalled; restart {restarts} from best "
+                              f"iterate", file=_sys.stderr)
+                    continue
                 import warnings
 
                 warnings.warn(
                     f"solve_shifted_chunked: relative residual "
                     f"{(rn2 / bnorm2) ** 0.5:.3e} after {iters} iterations "
-                    f"improved <2% over the last {3 * chunk} iterations — "
-                    f"likely the f32 rounding floor; wrap in "
-                    f"solve_shifted_ir for tighter residuals, or pass "
-                    f"early_stop=False to keep iterating.",
+                    f"improved <2% over the last {3 * chunk} iterations "
+                    f"(after {restarts} restart(s)) — likely the f32 "
+                    f"rounding floor; wrap in solve_shifted_ir for "
+                    f"tighter residuals, or pass early_stop=False to "
+                    f"keep iterating.",
                     stacklevel=2,
                 )
                 break
@@ -1129,6 +1190,15 @@ def solve_shifted_chunked_multi(
     # its buffer dies inside the first run_chunk call.
     best_xs = jnp.zeros_like(bs)
     best_rn2 = dot(bs, bs)  # residual at x0 = 0 is b
+    restarts = 0
+
+    @jax.jit
+    def restart_from(c_l, shift_l, extra_l, xs_l, bs_l):
+        axs = (shift_l * xs_l + extra_l * xs_l
+               + apply_stencil_pallas_multi(c_l, xs_l, topology, interpret))
+        r = bs_l - axs
+        return (xs_l + 0.0, r, r + 0.0, r + 0.0, dot(r, r))
+
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
@@ -1152,6 +1222,14 @@ def solve_shifted_chunked_multi(
         if early_stop and chunks_done % 3 == 0:
             if window_rn2 is not None and bool(
                     (rn2 >= (0.98 ** 2) * window_rn2).all()):
+                if restarts < max_restarts:
+                    # Restart every member from its best iterate with a
+                    # fresh Krylov space (see solve_shifted_chunked).
+                    restarts += 1
+                    state = restart_from(apply_coeffs, shift, extra,
+                                         best_xs, bs)
+                    window_rn2 = None
+                    continue
                 import warnings
 
                 worst = float(np.sqrt(
@@ -1161,8 +1239,9 @@ def solve_shifted_chunked_multi(
                     f"solve_shifted_chunked_multi: worst relative "
                     f"residual {worst:.3e} after {iters} iterations "
                     f"improved <2% over the last {3 * chunk} iterations "
-                    f"— likely the f32 rounding floor; wrap in "
-                    f"solve_shifted_ir or pass early_stop=False.",
+                    f"(after {restarts} restart(s)) — likely the f32 "
+                    f"rounding floor; wrap in solve_shifted_ir or pass "
+                    f"early_stop=False.",
                     stacklevel=2,
                 )
                 break

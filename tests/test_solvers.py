@@ -704,3 +704,42 @@ def test_chunked_best_iterate_on_divergence(ops, gridmetrics, indices):
         maxiter=300, chunk=10, preconditioner="jacobi", early_stop=False,
     )
     assert float(np.max(np.asarray(res_m))) <= 1.0 + 1e-5
+
+
+def test_ir_survives_diverging_inner_solve(ops, gridmetrics, indices,
+                                           monkeypatch):
+    """A catastrophically-diverged inner Krylov pass (observed once on
+    TPU at 0.25 degree: the correction blew the outer residual up to
+    ~1e3) must not poison the refinement: the outer loop reverts to its
+    best iterate and still converges to tol."""
+    from otmb_tpu.models import solvers as S
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ones = np.where(wet, 1.0, 0.0)
+    surf = np.zeros(gridmetrics.shape)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+
+    real = S.solve_shifted
+    calls = {"n": 0}
+
+    def sabotaged(coeffs, b, topology, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second inner pass returns garbage
+            bad = jnp.where(jnp.asarray(b) != 0, 1e6, 0.0).astype(
+                jnp.asarray(b).dtype)
+            return bad, jnp.asarray(1e6, jnp.asarray(b).dtype)
+        return real(coeffs, b, topology, **kw)
+
+    monkeypatch.setattr(S, "solve_shifted", sabotaged)
+    x, rel = S.solve_shifted_ir(
+        c32, ones, topo, extra_diag=surf, tol=1e-9, max_refinements=12,
+    )
+    assert calls["n"] >= 3  # the sabotage actually fired mid-run
+    assert float(rel) < 1e-9
+    ref, _ = ideal_age(ops.T, indices.wet3d, topo, tol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(x)[wet], np.asarray(ref)[wet], rtol=1e-3, atol=1.0
+    )
