@@ -337,6 +337,7 @@ def solve_shifted_ir(
     max_refinements: int = 10,
     method: str = "bicgstab",
     maxiter: int = 2000,
+    inner_maxiter: int | None = None,
     transpose: bool = False,
     preconditioner: str = "tridiag",
     apply_impl: str = "jnp",
@@ -422,6 +423,17 @@ def solve_shifted_ir(
             "use the jnp matvec (see solve_shifted's while_loop guard)",
             stacklevel=2,
         )
+    # Per-pass inner iteration budget. At blocked (scale-out) sizes one
+    # Krylov iteration costs tens of milliseconds and the later defect
+    # systems routinely stagnate: their useful contraction happens in
+    # the first few hundred iterations, so an uncapped budget turns each
+    # stagnating pass into minutes of wasted chunks (measured on v5e at
+    # 0.25 degree). 600 holds the measured useful-work envelope there;
+    # small grids converge long before any cap matters.
+    if inner_maxiter is None:
+        inner_maxiter = min(maxiter, 600) if chunked_inner else maxiter
+    else:
+        inner_maxiter = min(maxiter, inner_maxiter)
 
     x = jnp.zeros_like(b_wide)
     rel = jnp.asarray(jnp.inf, wide)
@@ -434,9 +446,13 @@ def solve_shifted_ir(
     # 0.25 degree (relative residual blew up to ~1e3). Keep the best
     # iterate seen at a defect evaluation; revert to it when a pass made
     # things much worse; return it if the final iterate is not the best.
+    # Stored NARROW (f32): it is a recovery point, not the result — in
+    # the convergent path the final full-precision x is the best and is
+    # returned untouched; storing wide would cost another 0.9 GB at the
+    # 0.25-degree size (measured OOM). If the recovery point IS
+    # returned, its residual is honestly recomputed first.
     best_x = None
     best_rel = float("inf")
-    best_rel_arr = rel
     for _ in range(max_refinements):
         # Drop the previous pass's defect and correction BEFORE the next
         # wide defect evaluation: at the 0.25-degree scale keeping them
@@ -449,14 +465,18 @@ def solve_shifted_ir(
         relf = float(rel)
         if relf < best_rel:
             best_rel = relf
-            best_rel_arr = rel
-            best_x = x + 0.0  # copy: x is donated by _ir_update below
+            # astype copies (x is donated by _ir_update below); the +0.0
+            # covers the dtype-equal case where astype is a no-op view
+            best_x = (x.astype(narrow_vec) if x.dtype != narrow_vec
+                      else x + 0.0)
         if relf <= tol:
             break
         if best_x is not None and relf > 4.0 * best_rel:
             # the last pass diverged; refine from the best iterate, not
-            # from the damaged one
-            x = best_x + 0.0
+            # from the damaged one (f32-rounded recovery point: the
+            # remaining defect corrections rebuild full precision)
+            r_hat = None  # free the bad defect before re-evaluating
+            x = best_x.astype(wide)
             r_hat, s_safe, rel = _ir_defect(
                 coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
                 topology, transpose,
@@ -486,16 +506,24 @@ def solve_shifted_ir(
         rhs = r_hat.astype(narrow_vec)
         r_hat = None  # the wide defect (0.9 GB at 0.25-degree) is spent
         if chunked_inner:
+            # max_restarts=0: each refinement pass already starts a
+            # fresh Krylov space on the f64-corrected defect — the outer
+            # loop IS the restart mechanism, and inner restarts just
+            # push stalled passes to the full budget (measured: 439 s vs
+            # 170 s for the 0.25-degree age with restarts on/off). The
+            # stall-exit (3-chunk window) caps a stagnating pass at
+            # ~150 wasted iterations instead.
             d, _ = solve_shifted_chunked(
                 coeffs, rhs, topology, shift=shift,
-                extra_diag=extra_diag, tol=inner_tol, maxiter=maxiter,
-                transpose=transpose, preconditioner=preconditioner,
+                extra_diag=extra_diag, tol=inner_tol,
+                maxiter=inner_maxiter, transpose=transpose,
+                preconditioner=preconditioner, max_restarts=0,
             )
         else:
             d, _ = solve_shifted(
                 coeffs, rhs, topology, shift=shift,
                 extra_diag=extra_diag, tol=inner_tol, method=method,
-                maxiter=maxiter, transpose=transpose,
+                maxiter=inner_maxiter, transpose=transpose,
                 preconditioner=preconditioner, apply_impl=apply_impl,
                 mesh=mesh,
             )
@@ -508,9 +536,18 @@ def solve_shifted_ir(
         )
         relf = float(rel)
         if relf < best_rel:
-            best_rel, best_rel_arr, best_x = relf, rel, x
+            best_rel, best_x = relf, x
     if best_x is not None and best_rel < float(rel):
-        return best_x, best_rel_arr
+        # Candidate: the f32-rounded recovery point. Recompute its
+        # residual honestly (rounding may have degraded it) and keep
+        # whichever iterate is actually better.
+        x_cand = best_x.astype(wide)
+        _, _, rel_cand = _ir_defect(
+            coeffs, x_cand, b_wide, extra_wide, shift_wide, bnorm_safe,
+            topology, transpose,
+        )
+        if float(rel_cand) < float(rel):
+            return x_cand, rel_cand
     return x, rel
 
 
@@ -1000,6 +1037,7 @@ def solve_shifted_chunked(
                     # reset rhat0 = p = r — the standard breakdown
                     # remedy, one extra matvec per restart.
                     restarts += 1
+                    state = None  # free 5 grid vectors before rebuilding
                     state = restart_from(
                         apply_coeffs, shifted_diag, shift, extra,
                         best_x, b,
@@ -1226,6 +1264,7 @@ def solve_shifted_chunked_multi(
                     # Restart every member from its best iterate with a
                     # fresh Krylov space (see solve_shifted_chunked).
                     restarts += 1
+                    state = None  # free 5 batched vectors first
                     state = restart_from(apply_coeffs, shift, extra,
                                          best_xs, bs)
                     window_rn2 = None
