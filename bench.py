@@ -52,6 +52,10 @@ class _Tee:
     def text(self):
         return "".join(self.chunks)
 
+    def __getattr__(self, name):
+        # close/isatty/fileno etc. from atexit logging handlers
+        return getattr(self.stream, name)
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -581,7 +585,12 @@ def main():
     if args.scale == "1deg":
         # Scale-out-sized single-chip diagnostics: the 0.25-degree grid
         # (j-blocked kernels), one slope pass each, so every BENCH_r*.json
-        # records the quarter-degree numbers too.
+        # records the quarter-degree numbers too. Free every 1-degree
+        # device object first — the refined age solve below runs within
+        # ~1 GB of the HBM ceiling, and the 1-degree operator/grid set
+        # (~0.6 GB) tipped an in-bench run into RESOURCE_EXHAUSTED.
+        coeffs = chi0 = umo = vmo = mlotst = gm = wet3d = None
+        gamma = None
         try:
             qnx, qny, qnz = QUARTER_DEGREE
             qgm, qwet, qumo, qvmo, qml = synthetic_device_case(

@@ -298,24 +298,28 @@ def implicit_euler_step(
 
 
 @partial(jax.jit, static_argnames=("topology", "transpose"))
-def _ir_defect(c_narrow, x, b_wide, extra_wide, shift, bnorm_safe,
+def _ir_defect(c_narrow, x, b_narrow, extra_narrow, shift, bnorm_safe,
                topology: GridTopology, transpose: bool):
     """One wide-precision defect evaluation: r = b - A x, its norm s,
     the normalized narrow-precision defect, and the relative residual.
 
-    Takes the NARROW coefficient fields and promotes them to the wide
-    dtype inside the jit: XLA fuses the converts into the stencil
-    arithmetic, so no persistent wide copy of the 9 coefficient streams
-    ever exists in HBM — the difference between refinement fitting (or
-    not) at the 0.25-degree scale-out size (9 x 117M x 8B = 8.4 GB of
-    persistent f64 coefficients avoided)."""
+    Takes the NARROW coefficient fields, right-hand side, and extra
+    diagonal, and promotes them to the wide dtype inside the jit (the
+    narrow->wide conversion is exact, so the f64 defect is identical to
+    one computed from persistent f64 copies): XLA fuses the converts
+    into the stencil arithmetic, so no persistent wide copy of the 9
+    coefficient streams, b, or extra_diag ever exists in HBM — at the
+    0.25-degree scale-out size that is 8.4 GB of f64 coefficients plus
+    1.9 GB of f64 b/extra avoided; the in-bench solve OOMed with the
+    persistent copies and fits without them."""
     from ..ops.apply import apply_stencil_transpose
 
-    wide = b_wide.dtype
+    wide = x.dtype
     c_wide = jax.tree_util.tree_map(lambda a: a.astype(wide), c_narrow)
     apply_wide = apply_stencil_transpose if transpose else apply_stencil
-    r = b_wide - (shift * x + extra_wide * x
-                  + apply_wide(c_wide, x, topology))
+    r = jnp.asarray(b_narrow, wide) - (
+        shift * x + jnp.asarray(extra_narrow, wide) * x
+        + apply_wide(c_wide, x, topology))
     s = jnp.linalg.norm(r)
     s_safe = jnp.where(s == 0, 1.0, s)
     return r / s_safe, s_safe, s / bnorm_safe
@@ -338,6 +342,7 @@ def solve_shifted_ir(
     method: str = "bicgstab",
     maxiter: int = 2000,
     inner_maxiter: int | None = None,
+    inner_algorithm: str = "bicgstab2",
     transpose: bool = False,
     preconditioner: str = "tridiag",
     apply_impl: str = "jnp",
@@ -393,14 +398,15 @@ def solve_shifted_ir(
     # operator coefficients stream at whatever width they were given.
     narrow_vec = jnp.float32 if narrow == jnp.bfloat16 else narrow
 
-    b_wide = jnp.asarray(b).astype(wide)
-    extra_wide = (
-        jnp.zeros((), wide) if extra_diag is None
-        else jnp.asarray(extra_diag).astype(wide)
-    )
+    # b and extra_diag stay NARROW here and are promoted inside
+    # _ir_defect (exactly — see its docstring); only the accumulating
+    # iterate x is persistently wide.
+    b_n = jnp.asarray(b)
+    extra_n = (jnp.zeros((), b_n.dtype) if extra_diag is None
+               else jnp.asarray(extra_diag))
     shift_wide = jnp.asarray(shift, wide)
 
-    bnorm = jnp.linalg.norm(b_wide)
+    bnorm = jnp.linalg.norm(b_n.astype(wide))
     bnorm_safe = jnp.where(bnorm == 0, 1.0, bnorm)
 
     # At grid sizes where the Pallas matvec is j-blocked on a real TPU,
@@ -435,7 +441,7 @@ def solve_shifted_ir(
     else:
         inner_maxiter = min(maxiter, inner_maxiter)
 
-    x = jnp.zeros_like(b_wide)
+    x = jnp.zeros(b_n.shape, wide)
     rel = jnp.asarray(jnp.inf, wide)
     rel_prev = float("inf")
     stagnant = 0
@@ -459,7 +465,7 @@ def solve_shifted_ir(
         # live (1.4 GB) across the f64 apply tips the device into OOM.
         r_hat = d = None
         r_hat, s_safe, rel = _ir_defect(
-            coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+            coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
             topology, transpose,
         )
         relf = float(rel)
@@ -478,7 +484,7 @@ def solve_shifted_ir(
             r_hat = None  # free the bad defect before re-evaluating
             x = best_x.astype(wide)
             r_hat, s_safe, rel = _ir_defect(
-                coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+                coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
                 topology, transpose,
             )
             relf = float(rel)
@@ -512,12 +518,18 @@ def solve_shifted_ir(
             # push stalled passes to the full budget (measured: 439 s vs
             # 170 s for the 0.25-degree age with restarts on/off). The
             # stall-exit (3-chunk window) caps a stagnating pass at
-            # ~150 wasted iterations instead.
+            # ~150 wasted iterations instead. inner_algorithm defaults
+            # to bicgstab2: the defect systems stall BiCGStab(1) via
+            # omega breakdowns on the advective spectrum, while
+            # BiCGStab(l=2)'s 2D minimal-residual polish converges them
+            # (measured at 0.25 degree: 396 s to 1.1e-6 vs 440-880 s to
+            # ~7e-6 across BiCGStab(1) runs).
             d, _ = solve_shifted_chunked(
                 coeffs, rhs, topology, shift=shift,
                 extra_diag=extra_diag, tol=inner_tol,
                 maxiter=inner_maxiter, transpose=transpose,
                 preconditioner=preconditioner, max_restarts=0,
+                algorithm=inner_algorithm,
             )
         else:
             d, _ = solve_shifted(
@@ -531,7 +543,7 @@ def solve_shifted_ir(
         x = _ir_update(x, s_safe, d)
     else:
         _, _, rel = _ir_defect(
-            coeffs, x, b_wide, extra_wide, shift_wide, bnorm_safe,
+            coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
             topology, transpose,
         )
         relf = float(rel)
@@ -543,7 +555,7 @@ def solve_shifted_ir(
         # whichever iterate is actually better.
         x_cand = best_x.astype(wide)
         _, _, rel_cand = _ir_defect(
-            coeffs, x_cand, b_wide, extra_wide, shift_wide, bnorm_safe,
+            coeffs, x_cand, b_n, extra_n, shift_wide, bnorm_safe,
             topology, transpose,
         )
         if float(rel_cand) < float(rel):
@@ -872,10 +884,22 @@ def solve_shifted_chunked(
     verbose: bool = False,
     early_stop: bool = True,
     max_restarts: int = 2,
+    algorithm: str = "bicgstab",
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
     j-blocked kernel.
+
+    `algorithm="bicgstab2"` runs BiCGStab(l=2) (Sleijpen & Fokkema 1993)
+    instead of BiCGStab(1): each cycle does two BiCG steps followed by a
+    TWO-dimensional minimal-residual polish, which handles the
+    complex-conjugate eigenvalue pairs of advective operators that drive
+    BiCGStab(1)'s omega breakdowns (the observed stall/divergence mode
+    of the 0.25-degree defect solves). Same cost per matvec; `maxiter`
+    and `chunk` still count matvec-PAIRS (one BiCGStab(1) iteration
+    == half a BiCGStab(2) cycle), so budgets are comparable across
+    algorithms. The solve runs right-preconditioned in y-space
+    (K = A o M, x = M y).
 
     On this TPU runtime the j-blocked kernel inside `lax.while_loop`
     crashes/hangs the worker, but the SAME kernel inside `lax.fori_loop`
@@ -972,12 +996,105 @@ def solve_shifted_chunked(
         rnorm2 = jnp.vdot(state[1], state[1]).real
         return state, rnorm2
 
+    def _make_MK(mc_l, md_l, shift_l, extra_l, c_l):
+        if preconditioner == "tridiag":
+            from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+            guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+
+            def M(v):
+                return tridiag_solve_pallas(
+                    mc_l.bottom, guarded, mc_l.top, v, interpret=interpret
+                )
+        else:
+            M = _jacobi_preconditioner(md_l)
+
+        def a_op(x):
+            return (shift_l * x + extra_l * x
+                    + apply_stencil_pallas(c_l, x, topology, interpret))
+
+        return M, a_op
+
+    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(5,))
+    def run_chunk2(c_l, mc_l, md_l, shift_l, extra_l, state, ncycles: int):
+        M, a_op = _make_MK(mc_l, md_l, shift_l, extra_l, c_l)
+
+        def K(v):
+            return a_op(M(v))
+
+        one = jnp.ones((), b.dtype)
+        guard = lambda d: jnp.where(d == 0, one, d)
+
+        def cycle(_, st):
+            y, r0, u0, rhat, rho0, alpha, omega = st
+            rho0 = -omega * rho0
+            # BiCG step j = 0
+            rho1 = jnp.vdot(rhat, r0)
+            beta = alpha * rho1 / guard(rho0)
+            rho0 = rho1
+            u0 = r0 - beta * u0
+            u1 = K(u0)
+            alpha = rho0 / guard(jnp.vdot(rhat, u1))
+            r0 = r0 - alpha * u1
+            r1 = K(r0)
+            y = y + alpha * u0
+            # BiCG step j = 1
+            rho1 = jnp.vdot(rhat, r1)
+            beta = alpha * rho1 / guard(rho0)
+            rho0 = rho1
+            u0 = r0 - beta * u0
+            u1 = r1 - beta * u1
+            u2 = K(u1)
+            alpha = rho0 / guard(jnp.vdot(rhat, u2))
+            r0 = r0 - alpha * u1
+            r1 = r1 - alpha * u2
+            r2 = K(r1)
+            y = y + alpha * u0
+            # 2D minimal-residual polish: min ||r0 - w1 r1 - w2 r2||
+            t11 = jnp.vdot(r1, r1)
+            t12 = jnp.vdot(r1, r2)
+            t22 = jnp.vdot(r2, r2)
+            s1 = jnp.vdot(r0, r1)
+            s2 = jnp.vdot(r0, r2)
+            det = guard(t11 * t22 - t12 * t12)
+            w1 = (t22 * s1 - t12 * s2) / det
+            w2 = (t11 * s2 - t12 * s1) / det
+            y = y + w1 * r0 + w2 * r1
+            r0 = r0 - w1 * r1 - w2 * r2
+            u0 = u0 - w1 * u1 - w2 * u2
+            return (y, r0, u0, rhat, rho0, alpha, w2)
+
+        state = jax.lax.fori_loop(0, ncycles, cycle, state)
+        rnorm2 = jnp.vdot(state[1], state[1]).real
+        return state, rnorm2
+
+    @jax.jit
+    def apply_M_only(mc_l, md_l, shift_l, extra_l, c_l, y_l):
+        M, _ = _make_MK(mc_l, md_l, shift_l, extra_l, c_l)
+        return M(y_l)
+
+    @jax.jit
+    def restart_from2(c_l, mc_l, md_l, shift_l, extra_l, y_l, b_l):
+        M, a_op = _make_MK(mc_l, md_l, shift_l, extra_l, c_l)
+        r = b_l - a_op(M(y_l))
+        zero = jnp.zeros((), b_l.dtype)
+        return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
+                jnp.ones((), b_l.dtype), zero, jnp.ones((), b_l.dtype))
+
     bnorm2 = float(jnp.vdot(b, b).real)
     atol2 = (tol ** 2) * bnorm2
     x0 = jnp.zeros_like(b)
-    # Fresh buffers for r/p/rhat0: the chunk jit DONATES its state, and
-    # handing it b's own buffer would invalidate b for final_res below.
-    state = (x0, b + 0.0, b + 0.0, b + 0.0, jnp.vdot(b, b))
+    # Fresh buffers for the residual family: the chunk jit DONATES its
+    # state, and handing it b's own buffer would invalidate b for
+    # final_res below.
+    if algorithm == "bicgstab":
+        state = (x0, b + 0.0, b + 0.0, b + 0.0, jnp.vdot(b, b))
+    elif algorithm == "bicgstab2":
+        state = (x0, b + 0.0, jnp.zeros_like(b), b + 0.0,
+                 jnp.ones((), b.dtype), jnp.zeros((), b.dtype),
+                 jnp.ones((), b.dtype))
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     iters = 0
     chunks_done = 0
     window_rn2 = float("inf")
@@ -1006,9 +1123,15 @@ def solve_shifted_chunked(
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
-        state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
-                                  shift, extra, state, nsteps)
-        iters += nsteps
+        if algorithm == "bicgstab":
+            state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
+                                      shift, extra, state, nsteps)
+            iters += nsteps
+        else:
+            ncycles = max(1, nsteps // 2)
+            state, rnorm2 = run_chunk2(apply_coeffs, m_coeffs, shifted_diag,
+                                       shift, extra, state, ncycles)
+            iters += 2 * ncycles
         rn2 = float(rnorm2)
         if rn2 < best_rn2:
             best_rn2 = rn2
@@ -1037,11 +1160,17 @@ def solve_shifted_chunked(
                     # reset rhat0 = p = r — the standard breakdown
                     # remedy, one extra matvec per restart.
                     restarts += 1
-                    state = None  # free 5 grid vectors before rebuilding
-                    state = restart_from(
-                        apply_coeffs, shifted_diag, shift, extra,
-                        best_x, b,
-                    )
+                    state = None  # free the grid vectors before rebuilding
+                    if algorithm == "bicgstab":
+                        state = restart_from(
+                            apply_coeffs, shifted_diag, shift, extra,
+                            best_x, b,
+                        )
+                    else:
+                        state = restart_from2(
+                            apply_coeffs, m_coeffs, shifted_diag, shift,
+                            extra, best_x, b,
+                        )
                     window_rn2 = float("inf")
                     if verbose:
                         import sys as _sys
@@ -1066,6 +1195,10 @@ def solve_shifted_chunked(
             window_rn2 = rn2
 
     x = best_x if best_rn2 < float(rnorm2) else state[0]
+    if algorithm == "bicgstab2":
+        # the bicgstab2 state lives in right-preconditioned y-space
+        x = apply_M_only(m_coeffs, shifted_diag, shift, extra,
+                         apply_coeffs, x)
 
     @jax.jit
     def final_res(c_l, shift_l, extra_l, x_l, b_l):
