@@ -194,10 +194,11 @@ def render_rows(text):
           rf"\(single-RHS chunked: {NUM} ms/iter\)"),
         lambda n, s, mpi, mpt, single: (
             f"{mpt:.1f} ms/iter/tracer vs {single:.1f} ms/iter "
-            f"single-RHS — {single/mpt:.2f}× per-tracer speedup"),
-        "batched Pallas matvec shares the 7 coefficient streams across "
-        "the batch (R=2 chosen to fit the Krylov working set in 16 GB "
-        "HBM at this size)",
+            f"single-RHS ({single/mpt:.2f}× per tracer)"),
+        "honest caveat: at this size the batched matvec's stream sharing "
+        "is diluted — Krylov vector algebra dominates the iteration and "
+        "R=2 runs at the HBM ceiling (the clear batching wins are the "
+        "B=8 propagation rows above and R=4 fractions at 1°)",
     )
     return rows
 
