@@ -1226,6 +1226,8 @@ def solve_shifted_chunked_multi(
     interpret: bool | None = None,
     verbose: bool = False,
     early_stop: bool = True,
+    max_restarts: int = 2,
+    algorithm: str = "bicgstab",
 ):
     """`solve_shifted_multi` with the lockstep batched Krylov loop split
     into host-controlled fori_loop chunks — the batched analogue of
@@ -1245,6 +1247,11 @@ def solve_shifted_chunked_multi(
     batch member's recurrence residual and stops only when all meet
     `tol` (converged members idle harmlessly through the zero-division
     guards, exactly as in `_bicgstab_matrix_free_multi`).
+
+    `algorithm="bicgstab2"` runs per-member BiCGStab(l=2) in lockstep
+    (see `solve_shifted_chunked`): two BiCG steps + a per-member 2D
+    minimal-residual polish per cycle, right-preconditioned in y-space.
+    `maxiter`/`chunk` still count matvec-pairs.
     """
     from functools import partial as _partial
 
@@ -1338,11 +1345,109 @@ def solve_shifted_chunked_multi(
         rnorm2 = dot(state[1], state[1])
         return state, rnorm2
 
+    def _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l):
+        if preconditioner == "tridiag":
+            from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+            guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+
+            def M(vs):
+                return jax.vmap(
+                    lambda v: tridiag_solve_pallas(
+                        mc_l.bottom, guarded, mc_l.top, v,
+                        interpret=interpret,
+                    )
+                )(vs)
+        else:
+            M = _jacobi_preconditioner(md_l)
+
+        def a_op(xs):
+            txs = apply_stencil_pallas_multi(c_l, xs, topology, interpret)
+            return shift_l * xs + extra_l * xs + txs
+
+        return M, a_op
+
+    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(5,))
+    def run_chunk2(c_l, mc_l, md_l, shift_l, extra_l, state, ncycles: int):
+        M, a_op = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+
+        def K(vs):
+            return a_op(M(vs))
+
+        one = jnp.ones((), bs.dtype)
+        guard = lambda d: jnp.where(d == 0, one, d)
+
+        def cycle(_, st):
+            y, r0, u0, rhat, rho0, alpha, omega = st
+            rho0 = -omega * rho0
+            # BiCG step j = 0 (per-member scalars, shape (B,))
+            rho1 = dot(rhat, r0)
+            beta = alpha * rho1 / guard(rho0)
+            rho0 = rho1
+            u0 = r0 - bx(beta) * u0
+            u1 = K(u0)
+            alpha = rho0 / guard(dot(rhat, u1))
+            r0 = r0 - bx(alpha) * u1
+            r1 = K(r0)
+            y = y + bx(alpha) * u0
+            # BiCG step j = 1
+            rho1 = dot(rhat, r1)
+            beta = alpha * rho1 / guard(rho0)
+            rho0 = rho1
+            u0 = r0 - bx(beta) * u0
+            u1 = r1 - bx(beta) * u1
+            u2 = K(u1)
+            alpha = rho0 / guard(dot(rhat, u2))
+            r0 = r0 - bx(alpha) * u1
+            r1 = r1 - bx(alpha) * u2
+            r2 = K(r1)
+            y = y + bx(alpha) * u0
+            # per-member 2D minimal-residual polish
+            t11 = dot(r1, r1)
+            t12 = dot(r1, r2)
+            t22 = dot(r2, r2)
+            s1 = dot(r0, r1)
+            s2 = dot(r0, r2)
+            det = guard(t11 * t22 - t12 * t12)
+            w1 = (t22 * s1 - t12 * s2) / det
+            w2 = (t11 * s2 - t12 * s1) / det
+            y = y + bx(w1) * r0 + bx(w2) * r1
+            r0 = r0 - bx(w1) * r1 - bx(w2) * r2
+            u0 = u0 - bx(w1) * u1 - bx(w2) * u2
+            return (y, r0, u0, rhat, rho0, alpha, w2)
+
+        state = jax.lax.fori_loop(0, ncycles, cycle, state)
+        rnorm2 = dot(state[1], state[1])
+        return state, rnorm2
+
+    @jax.jit
+    def apply_M_only(mc_l, md_l, shift_l, extra_l, c_l, y_l):
+        M, _ = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+        return M(y_l)
+
+    @jax.jit
+    def restart_from2(c_l, mc_l, md_l, shift_l, extra_l, y_l, bs_l):
+        M, a_op = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+        r = bs_l - a_op(M(y_l))
+        B = bs_l.shape[0]
+        ones_b = jnp.ones((B,), bs_l.dtype)
+        return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
+                ones_b, jnp.zeros((B,), bs_l.dtype), ones_b)
+
     bnorm2 = dot(bs, bs)
     atol2 = np.asarray((tol ** 2) * bnorm2)
     x0 = jnp.zeros_like(bs)
-    # Fresh buffers for r/p/rhat0: the chunk jit DONATES its state.
-    state = (x0, bs + 0.0, bs + 0.0, bs + 0.0, dot(bs, bs))
+    # Fresh buffers for the residual family: the chunk jit DONATES its
+    # state.
+    B = bs.shape[0]
+    if algorithm == "bicgstab":
+        state = (x0, bs + 0.0, bs + 0.0, bs + 0.0, dot(bs, bs))
+    elif algorithm == "bicgstab2":
+        state = (x0, bs + 0.0, jnp.zeros_like(bs), bs + 0.0,
+                 jnp.ones((B,), bs.dtype), jnp.zeros((B,), bs.dtype),
+                 jnp.ones((B,), bs.dtype))
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     iters = 0
     chunks_done = 0
     window_rn2 = None
@@ -1372,9 +1477,16 @@ def solve_shifted_chunked_multi(
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
-        state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
-                                  shift, extra, state, nsteps)
-        iters += nsteps
+        if algorithm == "bicgstab":
+            state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
+                                      shift, extra, state, nsteps)
+            iters += nsteps
+        else:
+            ncycles = max(1, nsteps // 2)
+            state, rnorm2 = run_chunk2(apply_coeffs, m_coeffs,
+                                       shifted_diag, shift, extra, state,
+                                       ncycles)
+            iters += 2 * ncycles
         best_xs, best_rn2 = keep_best(best_xs, best_rn2, state[0], rnorm2)
         rn2 = np.asarray(rnorm2)
         if verbose:
@@ -1397,9 +1509,14 @@ def solve_shifted_chunked_multi(
                     # Restart every member from its best iterate with a
                     # fresh Krylov space (see solve_shifted_chunked).
                     restarts += 1
-                    state = None  # free 5 batched vectors first
-                    state = restart_from(apply_coeffs, shift, extra,
-                                         best_xs, bs)
+                    state = None  # free the batched vectors first
+                    if algorithm == "bicgstab":
+                        state = restart_from(apply_coeffs, shift, extra,
+                                             best_xs, bs)
+                    else:
+                        state = restart_from2(apply_coeffs, m_coeffs,
+                                              shifted_diag, shift, extra,
+                                              best_xs, bs)
                     window_rn2 = None
                     continue
                 import warnings
@@ -1419,6 +1536,10 @@ def solve_shifted_chunked_multi(
                 break
             window_rn2 = rn2
     xs = best_xs
+    if algorithm == "bicgstab2":
+        # the bicgstab2 state lives in right-preconditioned y-space
+        xs = apply_M_only(m_coeffs, shifted_diag, shift, extra,
+                          apply_coeffs, xs)
 
     @jax.jit
     def final_res(c_l, shift_l, extra_l, xs_l, bs_l):

@@ -807,3 +807,60 @@ def test_bicgstab2_beats_bicgstab_on_skew_system(ops, gridmetrics, indices):
     # anywhere near (it historically stalls around O(1))
     assert float(res2) < 1e-6
     assert float(res2) < 1e-3 * float(res1)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_chunked_multi_bicgstab2_matches(ops, gridmetrics, indices,
+                                         transpose):
+    """Batched BiCGStab(2) (lockstep per-member cycles in y-space)
+    matches the batched BiCGStab(1) solutions."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked_multi
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(61)
+    bs = np.stack([
+        np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0)
+        for _ in range(2)
+    ])
+    x1, r1 = solve_shifted_chunked_multi(
+        ops.T, bs, topo, shift=1e-4, tol=1e-12, chunk=8,
+        transpose=transpose,
+    )
+    x2, r2 = solve_shifted_chunked_multi(
+        ops.T, bs, topo, shift=1e-4, tol=1e-12, chunk=8,
+        transpose=transpose, algorithm="bicgstab2",
+    )
+    assert float(np.max(np.asarray(r1))) < 1e-10
+    assert float(np.max(np.asarray(r2))) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(x2), np.asarray(x1), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_chunked_multi_bicgstab2_skew(ops, gridmetrics, indices):
+    """Per-member BiCGStab(2) converges the skew-dominant system that
+    stalls BiCGStab(1), for every batch member at once."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked_multi
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d).astype(np.float64)
+    z = jnp.zeros_like(ops.T.diag)
+    w = jnp.asarray(wet)
+    skew = ops.T._replace(
+        diag=z + 1e-2 * w, east=z + w, west=z - w, north=z, south=z,
+        top=z, bottom=z,
+    )
+    rng = np.random.default_rng(6)
+    bs = np.stack([wet * rng.standard_normal(wet.shape) for _ in range(2)])
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, res = solve_shifted_chunked_multi(
+            skew, bs, topo, tol=1e-10, maxiter=400, chunk=20,
+            preconditioner="jacobi", early_stop=False, max_restarts=0,
+            algorithm="bicgstab2",
+        )
+    assert float(np.max(np.asarray(res))) < 1e-6
