@@ -864,3 +864,38 @@ def test_chunked_multi_bicgstab2_skew(ops, gridmetrics, indices):
             algorithm="bicgstab2",
         )
     assert float(np.max(np.asarray(res))) < 1e-6
+
+
+def test_ir_chunked_inner_path(ops, gridmetrics, indices, monkeypatch):
+    """CI coverage of the exact production 0.25-degree refinement path:
+    solve_shifted_ir routed through the host-chunked inner engine (the
+    default BiCGStab(2) cycles), which `_use_chunked` only selects on a
+    real TPU at blocked sizes — forced here so interpret-mode CI runs
+    the same composition the driver bench does."""
+    from otmb_tpu.models import solvers as S
+
+    monkeypatch.setattr(S, "_use_chunked", lambda *a, **k: True)
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ones = np.where(wet, 1.0, 0.0)
+    surf = np.zeros(gridmetrics.shape)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+
+    x, rel = S.solve_shifted_ir(
+        c32, ones, topo, extra_diag=surf, tol=1e-9, apply_impl="pallas",
+    )
+    assert float(rel) < 1e-9
+    ref, _ = ideal_age(ops.T, indices.wet3d, topo, tol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(x)[wet], np.asarray(ref)[wet], rtol=1e-3, atol=1.0
+    )
+
+    # and the bicgstab(1) inner variant of the same path
+    x1, rel1 = S.solve_shifted_ir(
+        c32, ones, topo, extra_diag=surf, tol=1e-9, apply_impl="pallas",
+        inner_algorithm="bicgstab",
+    )
+    assert float(rel1) < 1e-9
