@@ -857,9 +857,12 @@ def water_mass_fractions(
         # Blocked-kernel grid sizes (e.g. 0.25 degree): the while_loop
         # solver would demote to the jnp matvec; the host-chunked
         # batched Krylov keeps the fused batched Pallas kernels.
+        # BiCGStab(2) cycles: the advective spectra that stall
+        # BiCGStab(1) at this scale (see solve_shifted_ir) affect the
+        # dye systems the same way.
         fr, res = solve_shifted_chunked_multi(
             coeffs, bs, topology, shift=0.0, extra_diag=surf, tol=tol,
-            preconditioner=preconditioner,
+            preconditioner=preconditioner, algorithm="bicgstab2",
         )
     else:
         fr, res = solve_shifted_multi(
