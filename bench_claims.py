@@ -34,8 +34,16 @@ END = "<!-- BENCH_TABLE_END -->"
 NUM = r"([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)"
 
 
+def _strip_thousands(text):
+    """Drop thousands separators ("10,199" -> "10199") before number
+    parsing. The renderer emits them (`{tps:,.0f}`), and without this
+    `_numbers` split such cells into fragments and compared garbage
+    pairwise (the round-4 false-positive drift line)."""
+    return re.sub(r"(?<=\d),(?=\d)", "", text)
+
+
 def _grab(text, pattern):
-    m = re.search(pattern, text)
+    m = re.search(pattern, _strip_thousands(text))
     if m is None:
         return None
     return [float(g) for g in m.groups()]
@@ -235,7 +243,7 @@ def update_readme() -> None:
 
 
 def _numbers(cell):
-    return [float(x) for x in re.findall(NUM, cell)]
+    return [float(x) for x in re.findall(NUM, _strip_thousands(cell))]
 
 
 def _close(a, b):

@@ -41,6 +41,7 @@ from .models.solvers import (
     explicit_euler_propagate,
     ideal_age,
     implicit_euler_step,
+    resolve_apply_impl,
     sequestration_time,
     solve_shifted_chunked_multi,
     solve_shifted_multi,
@@ -129,6 +130,7 @@ __all__ = [
     "explicit_euler_propagate",
     "implicit_euler_step",
     "ideal_age",
+    "resolve_apply_impl",
     "sequestration_time",
     "solve_shifted_multi",
     "solve_shifted_chunked_multi",

@@ -141,6 +141,36 @@ def _bicgstab_matrix_free(a_op, b, M, tol, maxiter):
     return x
 
 
+def resolve_apply_impl(topology: GridTopology, dtype, apply_impl: str = "pallas",
+                       mesh=None) -> str:
+    """The operator-application implementation `solve_shifted` (and the
+    other while_loop-based solvers) will ACTUALLY use for this
+    configuration — the machine-readable form of the demotion that
+    `solve_shifted` otherwise only logs:
+
+      * ``"pallas-halo"`` — mesh + pallas: the sharded shard_map Krylov
+        (`parallel/solve_halo.py`);
+      * ``"pallas"`` — the fused single-chip Pallas matvec;
+      * ``"jnp"`` — either requested directly, or the SILENT DEMOTION at
+        grid sizes where the Pallas matvec would be j-blocked inside a
+        `lax.while_loop` on a real TPU (see `blocked_unstable_in_while`);
+        at those sizes `solve_shifted_chunked` keeps the fused kernels
+        and is the fast path.
+
+    Callers that jit whole pipelines should check this BEFORE choosing a
+    solver; a demoted `solve_shifted` is ~1.5x slower per iteration than
+    the chunked engine.
+    """
+    if mesh is not None and apply_impl == "pallas":
+        return "pallas-halo"
+    if apply_impl == "pallas":
+        from ..ops.stencil_pallas import blocked_unstable_in_while
+
+        if blocked_unstable_in_while(topology, jnp.dtype(dtype).itemsize):
+            return "jnp"
+    return apply_impl
+
+
 @partial(jax.jit, static_argnames=("topology", "method", "maxiter", "transpose",
                                    "preconditioner", "apply_impl", "mesh"))
 def solve_shifted(
@@ -198,22 +228,23 @@ def solve_shifted(
     # must not silently promote the whole Krylov recurrence.
     extra = (0.0 if extra_diag is None
              else jnp.asarray(extra_diag, b.dtype))
-    if apply_impl == "pallas":
-        from ..ops.stencil_pallas import blocked_unstable_in_while
+    resolved = resolve_apply_impl(topology, b.dtype, apply_impl, mesh=None)
+    if resolved != apply_impl:
+        # See blocked_unstable_in_while: prefer solve_shifted_chunked
+        # at this size; inside this jitted entry the only safe
+        # fallback is the XLA-fused jnp matvec (~1.5x per iteration).
+        # Machine-readable signal: call `resolve_apply_impl` with the
+        # same arguments before solving.
+        import logging
 
-        if blocked_unstable_in_while(topology, b.dtype.itemsize):
-            # See blocked_unstable_in_while: prefer solve_shifted_chunked
-            # at this size; inside this jitted entry the only safe
-            # fallback is the XLA-fused jnp matvec (~1.5x per iteration).
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "apply_impl='pallas' would use the j-blocked kernel inside "
-                "a while_loop, which is unproven at this grid size on TPU; "
-                "falling back to the jnp matvec (use solve_shifted_chunked "
-                "for the fast path)"
-            )
-            apply_impl = "jnp"
+        logging.getLogger(__name__).warning(
+            "apply_impl='pallas' would use the j-blocked kernel inside "
+            "a while_loop, which is unproven at this grid size on TPU; "
+            "falling back to the jnp matvec (use solve_shifted_chunked "
+            "for the fast path; resolve_apply_impl() reports this "
+            "demotion programmatically)"
+        )
+        apply_impl = resolved
     if apply_impl == "pallas":
         if method != "bicgstab":
             raise ValueError(
@@ -347,8 +378,18 @@ def solve_shifted_ir(
     preconditioner: str = "tridiag",
     apply_impl: str = "jnp",
     mesh=None,
+    stats: dict | None = None,
 ):
     """`solve_shifted` with mixed-precision iterative refinement.
+
+    `stats`, if given a dict, is filled with per-pass diagnostics:
+    ``passes`` = list of one dict per refinement pass with ``rel_start``
+    (the f64 defect relative residual entering the pass), ``reverted``
+    (pass started from the recovery point), and — on the chunked inner
+    path — the inner solve's own stats (``inner_iters``,
+    ``inner_stop``, ``inner_restarts``, ``inner_end_rel``); plus
+    ``refinements`` and ``rel_final``. This is how a slow solve's time
+    is attributed from a bench artifact alone.
 
     Single-precision Krylov on this operator stagnates at relative
     residuals around 1e-3..1e-4 (age fields reach ~1e9 s while |T| rows
@@ -459,6 +500,7 @@ def solve_shifted_ir(
     # returned, its residual is honestly recomputed first.
     best_x = None
     best_rel = float("inf")
+    pass_log = [] if stats is None else stats.setdefault("passes", [])
     for _ in range(max_refinements):
         # Drop the previous pass's defect and correction BEFORE the next
         # wide defect evaluation: at the 0.25-degree scale keeping them
@@ -480,14 +522,25 @@ def solve_shifted_ir(
         if best_x is not None and relf > 4.0 * best_rel:
             # the last pass diverged; refine from the best iterate, not
             # from the damaged one (f32-rounded recovery point: the
-            # remaining defect corrections rebuild full precision)
+            # remaining defect corrections rebuild full precision).
+            # COPY when dtypes already match: astype would be a no-op
+            # view of best_x, and _ir_update donates x — a donated alias
+            # would delete the recovery point out from under any later
+            # revert or the final candidate check (advisor round 4;
+            # invisible on CPU where donation is a no-op).
             r_hat = None  # free the bad defect before re-evaluating
-            x = best_x.astype(wide)
+            x = (best_x.astype(wide) if best_x.dtype != wide
+                 else best_x + 0.0)
             r_hat, s_safe, rel = _ir_defect(
                 coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
                 topology, transpose,
             )
             relf = float(rel)
+            reverted = True
+        else:
+            reverted = False
+        pass_entry = {"rel_start": relf, "reverted": reverted}
+        pass_log.append(pass_entry)
         # Each refinement should contract the residual by roughly
         # inner_tol; no contraction means the inner Krylov solve is
         # stagnating (likely exiting at maxiter far from inner_tol).
@@ -502,11 +555,14 @@ def solve_shifted_ir(
             warnings.warn(
                 f"solve_shifted_ir: refinement stagnated at relative "
                 f"residual {relf:.3e} (previous {rel_prev:.3e}); "
-                f"the inner {method} solve is likely exiting at "
-                f"maxiter={maxiter} without reaching inner_tol="
-                f"{inner_tol}. Raise maxiter or loosen tol.",
+                f"the inner {method} solve is likely exiting at its "
+                f"inner_maxiter={inner_maxiter} budget without reaching "
+                f"inner_tol={inner_tol}. Raise the inner_maxiter "
+                f"parameter (the outer maxiter={maxiter} does not bound "
+                f"the inner passes) or loosen tol.",
                 stacklevel=2,
             )
+            pass_entry["stagnated"] = True
             break
         rel_prev = relf
         rhs = r_hat.astype(narrow_vec)
@@ -524,12 +580,19 @@ def solve_shifted_ir(
             # BiCGStab(l=2)'s 2D minimal-residual polish converges them
             # (measured at 0.25 degree: 396 s to 1.1e-6 vs 440-880 s to
             # ~7e-6 across BiCGStab(1) runs).
+            inner_stats = {}
             d, _ = solve_shifted_chunked(
                 coeffs, rhs, topology, shift=shift,
                 extra_diag=extra_diag, tol=inner_tol,
                 maxiter=inner_maxiter, transpose=transpose,
                 preconditioner=preconditioner, max_restarts=0,
-                algorithm=inner_algorithm,
+                algorithm=inner_algorithm, stats=inner_stats,
+            )
+            pass_entry.update(
+                inner_iters=inner_stats.get("iters"),
+                inner_stop=inner_stats.get("stop"),
+                inner_restarts=inner_stats.get("restarts"),
+                inner_end_rel=inner_stats.get("end_rel"),
             )
         else:
             d, _ = solve_shifted(
@@ -559,7 +622,9 @@ def solve_shifted_ir(
             topology, transpose,
         )
         if float(rel_cand) < float(rel):
-            return x_cand, rel_cand
+            x, rel = x_cand, rel_cand
+    if stats is not None:
+        stats.update(refinements=len(pass_log), rel_final=float(rel))
     return x, rel
 
 
@@ -586,6 +651,7 @@ def ideal_age(
     apply_impl: str = "jnp",
     refine: bool = False,
     mesh=None,
+    stats: dict | None = None,
 ):
     """Steady-state ideal mean age Gamma (seconds), governed by
     T Gamma = 1 - M Gamma with M a fast surface restoring mask
@@ -606,13 +672,19 @@ def ideal_age(
     if _use_chunked(apply_impl, mesh, refine, topology, dtype):
         gamma, res = solve_shifted_chunked(
             coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+            stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
-    solver = solve_shifted_ir if refine else solve_shifted
-    gamma, res = solver(
-        coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-        method=method, apply_impl=apply_impl, mesh=mesh,
-    )
+    if refine:
+        gamma, res = solve_shifted_ir(
+            coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+            method=method, apply_impl=apply_impl, mesh=mesh, stats=stats,
+        )
+    else:
+        gamma, res = solve_shifted(
+            coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+            method=method, apply_impl=apply_impl, mesh=mesh,
+        )
     return jnp.where(wet, gamma, jnp.nan), res
 
 
@@ -626,6 +698,7 @@ def sequestration_time(
     apply_impl: str = "jnp",
     refine: bool = False,
     mesh=None,
+    stats: dict | None = None,
 ):
     """Mean sequestration time (seconds): the adjoint of ideal age —
     expected time for water at each cell to next contact the surface,
@@ -644,14 +717,21 @@ def sequestration_time(
     if _use_chunked(apply_impl, mesh, refine, topology, dtype):
         gamma, res = solve_shifted_chunked(
             coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-            transpose=True,
+            transpose=True, stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
-    solver = solve_shifted_ir if refine else solve_shifted
-    gamma, res = solver(
-        coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-        method=method, transpose=True, apply_impl=apply_impl, mesh=mesh,
-    )
+    if refine:
+        gamma, res = solve_shifted_ir(
+            coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+            method=method, transpose=True, apply_impl=apply_impl,
+            mesh=mesh, stats=stats,
+        )
+    else:
+        gamma, res = solve_shifted(
+            coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
+            method=method, transpose=True, apply_impl=apply_impl,
+            mesh=mesh,
+        )
     return jnp.where(wet, gamma, jnp.nan), res
 
 
@@ -888,10 +968,27 @@ def solve_shifted_chunked(
     early_stop: bool = True,
     max_restarts: int = 2,
     algorithm: str = "bicgstab",
+    stats: dict | None = None,
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
     j-blocked kernel.
+
+    `stats`, if given a dict, is filled with per-solve diagnostics:
+    ``iters`` (matvec-pairs used), ``restarts``, ``stop`` (one of
+    "converged" / "stall" / "diverged" / "maxiter"), ``start_rel`` /
+    ``end_rel`` (recurrence residuals) — so a slow solve's time budget
+    is attributable from the artifact alone (round-4 verdict: the
+    170-880 s solve variance was undiagnosable).
+
+    In-pass DIVERGENCE exit: a chunk sequence whose recurrence residual
+    rises above 4x its pass-start value (or goes NaN) is aborted
+    immediately — restarted from the best iterate while restart budget
+    remains, otherwise returned to the caller (the outer IR loop
+    re-evaluates the true defect and refines from the best iterate).
+    Round-4 artifacts showed whole 600-iteration passes ending at
+    recurrence residuals above 1 while only the outer best-iterate
+    machinery rescued the solve; the exit caps that waste at one chunk.
 
     `algorithm="bicgstab2"` runs BiCGStab(l=2) (Sleijpen & Fokkema 1993)
     instead of BiCGStab(1): each cycle does two BiCG steps followed by a
@@ -1114,6 +1211,12 @@ def solve_shifted_chunked(
     best_x = jnp.zeros_like(b)
     best_rn2 = float(jnp.vdot(b, b).real)  # residual at x0 = 0 is b
     restarts = 0
+    # Residual-norm^2 at the start of the current Krylov pass (a fresh
+    # start or the last restart) — the reference point for the in-pass
+    # divergence exit.
+    pass_rn2 = bnorm2
+    rn2 = bnorm2
+    stop = "maxiter"
 
     @jax.jit
     def restart_from(c_l, md_l, shift_l, extra_l, x_l, b_l):
@@ -1123,6 +1226,22 @@ def solve_shifted_chunked(
         # x copied out of best_x's buffer: the returned state is donated
         # into the next chunk while best_x must survive.
         return (x_l + 0.0, r, r + 0.0, r + 0.0, jnp.vdot(r, r))
+
+    def do_restart():
+        nonlocal state, restarts, window_rn2, pass_rn2
+        restarts += 1
+        state = None  # free the grid vectors before rebuilding
+        if algorithm == "bicgstab":
+            state = restart_from(
+                apply_coeffs, shifted_diag, shift, extra, best_x, b,
+            )
+        else:
+            state = restart_from2(
+                apply_coeffs, m_coeffs, shifted_diag, shift, extra,
+                best_x, b,
+            )
+        window_rn2 = float("inf")
+        pass_rn2 = best_rn2
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
@@ -1136,7 +1255,7 @@ def solve_shifted_chunked(
                                        shift, extra, state, ncycles)
             iters += 2 * ncycles
         rn2 = float(rnorm2)
-        if rn2 < best_rn2:
+        if rn2 < best_rn2:  # NaN-safe: NaN compares False
             best_rn2 = rn2
             best_x = state[0] + 0.0  # copy: state is donated next chunk
         if verbose:
@@ -1145,6 +1264,27 @@ def solve_shifted_chunked(
             print(f"#   chunked iter {iters}: rel recurrence residual "
                   f"{(rn2 / bnorm2) ** 0.5:.3e}", file=_sys.stderr)
         if rn2 <= atol2:
+            stop = "converged"
+            break
+        # In-pass DIVERGENCE exit: recurrence residual above 4x its
+        # pass-start value (or NaN from an omega-breakdown blow-up)
+        # means this Krylov space is lost — restart immediately from the
+        # best iterate while budget remains, else hand the best iterate
+        # back to the caller NOW instead of burning the remaining
+        # budget on a diverging recurrence (round-4 artifacts: whole
+        # 600-iteration passes ended above their starting residual).
+        if not rn2 <= 16.0 * pass_rn2:  # NaN-safe: NaN -> diverged
+            if restarts < max_restarts:
+                if verbose:
+                    import sys as _sys
+
+                    print(f"#   chunked iter {iters}: DIVERGED "
+                          f"(rel {(rn2 / bnorm2) ** 0.5:.3e}); restart "
+                          f"{restarts + 1} from best iterate",
+                          file=_sys.stderr)
+                do_restart()
+                continue
+            stop = "diverged"
             break
         # f32-floor detection on CUMULATIVE progress: a slowly-but-
         # genuinely converging solve shrinks the residual a little every
@@ -1162,25 +1302,13 @@ def solve_shifted_chunked(
                     # recompute the true residual r = b - A x_best and
                     # reset rhat0 = p = r — the standard breakdown
                     # remedy, one extra matvec per restart.
-                    restarts += 1
-                    state = None  # free the grid vectors before rebuilding
-                    if algorithm == "bicgstab":
-                        state = restart_from(
-                            apply_coeffs, shifted_diag, shift, extra,
-                            best_x, b,
-                        )
-                    else:
-                        state = restart_from2(
-                            apply_coeffs, m_coeffs, shifted_diag, shift,
-                            extra, best_x, b,
-                        )
-                    window_rn2 = float("inf")
                     if verbose:
                         import sys as _sys
 
                         print(f"#   chunked iter {iters}: window "
-                              f"stalled; restart {restarts} from best "
-                              f"iterate", file=_sys.stderr)
+                              f"stalled; restart {restarts + 1} from "
+                              f"best iterate", file=_sys.stderr)
+                    do_restart()
                     continue
                 import warnings
 
@@ -1194,10 +1322,23 @@ def solve_shifted_chunked(
                     f"keep iterating.",
                     stacklevel=2,
                 )
+                stop = "stall"
                 break
             window_rn2 = rn2
 
-    x = best_x if best_rn2 < float(rnorm2) else state[0]
+    # NaN-safe best-iterate selection: take the last iterate only when
+    # its recurrence residual is a number AND strictly beats the best
+    # chunk-boundary iterate (advisor round 4: `best_rn2 < NaN` is
+    # False, which returned the garbage last iterate).
+    take_last = rn2 < best_rn2
+    x = state[0] if take_last else best_x
+    if stats is not None:
+        bn = bnorm2 ** 0.5 if bnorm2 > 0 else 1.0
+        sel_rn2 = rn2 if take_last else best_rn2
+        stats.update(
+            iters=iters, restarts=restarts, stop=stop,
+            start_rel=1.0, end_rel=(sel_rn2 ** 0.5) / bn,
+        )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
         x = apply_M_only(m_coeffs, shifted_diag, shift, extra,
@@ -1231,6 +1372,7 @@ def solve_shifted_chunked_multi(
     early_stop: bool = True,
     max_restarts: int = 2,
     algorithm: str = "bicgstab",
+    stats: dict | None = None,
 ):
     """`solve_shifted_multi` with the lockstep batched Krylov loop split
     into host-controlled fori_loop chunks — the batched analogue of
@@ -1249,7 +1391,12 @@ def solve_shifted_chunked_multi(
     shape (B,), recomputed from scratch. The chunk boundary checks EVERY
     batch member's recurrence residual and stops only when all meet
     `tol` (converged members idle harmlessly through the zero-division
-    guards, exactly as in `_bicgstab_matrix_free_multi`).
+    guards, exactly as in `_bicgstab_matrix_free_multi`). Stall and
+    divergence handling is PER MEMBER: converged members are masked out
+    of the window test, and a restart rebuilds a fresh Krylov space only
+    for the members that need it, leaving the others' subspaces intact.
+    `stats` as in `solve_shifted_chunked` (``end_rel`` is the worst
+    member's).
 
     `algorithm="bicgstab2"` runs per-member BiCGStab(l=2) in lockstep
     (see `solve_shifted_chunked`): two BiCG steps + a per-member 2D
@@ -1453,7 +1600,17 @@ def solve_shifted_chunked_multi(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     iters = 0
     chunks_done = 0
-    window_rn2 = None
+    bn2_np = np.asarray(bnorm2)
+    bn2_safe = np.where(bn2_np == 0, 1.0, bn2_np)
+    # Per-member window / pass-start residuals (host copies): converged
+    # members are MASKED OUT of the stall/divergence logic, and restarts
+    # are applied PER MEMBER — one stalled member no longer waits for
+    # (or disturbs) the rest of the batch (advisor round 4: the old
+    # all-member window test let one slowly-improving member suppress
+    # the restart that a genuinely stalled member needed).
+    window_rn2 = np.full((B,), np.inf)
+    pass_rn2 = bn2_np.copy()
+    stop = "maxiter"
 
     # Per-member best-iterate tracking (see solve_shifted_chunked):
     # members whose recurrence diverges transiently keep their best
@@ -1471,12 +1628,48 @@ def solve_shifted_chunked_multi(
     best_rn2 = dot(bs, bs)  # residual at x0 = 0 is b
     restarts = 0
 
-    @jax.jit
-    def restart_from(c_l, shift_l, extra_l, xs_l, bs_l):
-        axs = (shift_l * xs_l + extra_l * xs_l
-               + apply_stencil_pallas_multi(c_l, xs_l, topology, interpret))
+    def _blend(old, new, mask_d):
+        """new where mask (per member), old elsewhere, across a state
+        tuple of (B, ...) vectors and (B,) scalars."""
+        pick = lambda o, n: jnp.where(
+            mask_d[(slice(None),) + (None,) * (o.ndim - 1)], n, o)
+        return tuple(pick(o, n) for o, n in zip(old, new))
+
+    @_partial(jax.jit, donate_argnums=(3,))
+    def restart_members(c_l, shift_l, extra_l, state_old, xs_best, bs_l,
+                        mask_d):
+        """Fresh Krylov space from the best iterate for the members in
+        `mask_d` only; other members' state passes through untouched."""
+        axs = (shift_l * xs_best + extra_l * xs_best
+               + apply_stencil_pallas_multi(c_l, xs_best, topology,
+                                            interpret))
         r = bs_l - axs
-        return (xs_l + 0.0, r, r + 0.0, r + 0.0, dot(r, r))
+        new = (xs_best + 0.0, r, r + 0.0, r + 0.0, dot(r, r))
+        return _blend(state_old, new, mask_d)
+
+    @_partial(jax.jit, donate_argnums=(4,))
+    def restart_members2(c_l, mc_l, md_l, shift_l, state_old, extra_l,
+                         xs_best, bs_l, mask_d):
+        M, a_op = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+        r = bs_l - a_op(M(xs_best))
+        ones_b = jnp.ones((B,), bs_l.dtype)
+        new = (xs_best + 0.0, r, jnp.zeros_like(r), r + 0.0,
+               ones_b, jnp.zeros((B,), bs_l.dtype), ones_b)
+        return _blend(state_old, new, mask_d)
+
+    def do_restart(mask):
+        nonlocal state, restarts, window_rn2, pass_rn2
+        restarts += 1
+        mask_d = jnp.asarray(mask)
+        if algorithm == "bicgstab":
+            state = restart_members(apply_coeffs, shift, extra, state,
+                                    best_xs, bs, mask_d)
+        else:
+            state = restart_members2(apply_coeffs, m_coeffs, shifted_diag,
+                                     shift, state, extra, best_xs, bs,
+                                     mask_d)
+        window_rn2 = np.where(mask, np.inf, window_rn2)
+        pass_rn2 = np.where(mask, np.asarray(best_rn2), pass_rn2)
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
@@ -1495,50 +1688,65 @@ def solve_shifted_chunked_multi(
         if verbose:
             import sys as _sys
 
-            rel = np.sqrt(rn2 / np.where(np.asarray(bnorm2) == 0, 1.0,
-                                         np.asarray(bnorm2)))
+            rel = np.sqrt(rn2 / bn2_safe)
             print(f"#   chunked-multi iter {iters}: rel recurrence "
                   f"residuals {np.array2string(rel, precision=2)}",
                   file=_sys.stderr)
         if bool((rn2 <= atol2).all()):
+            stop = "converged"
             break
-        # Cumulative 3-chunk-window early stop on the WORST member (same
-        # rationale as solve_shifted_chunked).
+        active = ~(rn2 <= atol2)  # NaN counts as active
+        # In-pass divergence exit, per member (see
+        # solve_shifted_chunked): recurrence above 4x pass-start or NaN.
+        diverged = active & ~(rn2 <= 16.0 * pass_rn2)
+        if bool(diverged.any()):
+            if restarts < max_restarts:
+                if verbose:
+                    import sys as _sys
+
+                    print(f"#   chunked-multi iter {iters}: members "
+                          f"{np.flatnonzero(diverged).tolist()} diverged;"
+                          f" restart {restarts + 1}", file=_sys.stderr)
+                do_restart(diverged)
+                continue
+            if bool((diverged | ~active).all()):
+                stop = "diverged"
+                break
+            # some members still converging: let them finish; the
+            # diverged ones are protected by their best iterates
+        # Cumulative 3-chunk-window early stop on the still-active
+        # members (converged members masked out).
         chunks_done += 1
         if early_stop and chunks_done % 3 == 0:
-            if window_rn2 is not None and bool(
-                    (rn2 >= (0.98 ** 2) * window_rn2).all()):
+            stalled = active & ~(rn2 < (0.98 ** 2) * window_rn2)
+            if bool(stalled.any()):
                 if restarts < max_restarts:
-                    # Restart every member from its best iterate with a
-                    # fresh Krylov space (see solve_shifted_chunked).
-                    restarts += 1
-                    state = None  # free the batched vectors first
-                    if algorithm == "bicgstab":
-                        state = restart_from(apply_coeffs, shift, extra,
-                                             best_xs, bs)
-                    else:
-                        state = restart_from2(apply_coeffs, m_coeffs,
-                                              shifted_diag, shift, extra,
-                                              best_xs, bs)
-                    window_rn2 = None
+                    do_restart(stalled)
                     continue
-                import warnings
+                if bool((stalled | ~active).all()):
+                    import warnings
 
-                worst = float(np.sqrt(
-                    (rn2 / np.where(np.asarray(bnorm2) == 0, 1.0,
-                                    np.asarray(bnorm2))).max()))
-                warnings.warn(
-                    f"solve_shifted_chunked_multi: worst relative "
-                    f"residual {worst:.3e} after {iters} iterations "
-                    f"improved <2% over the last {3 * chunk} iterations "
-                    f"(after {restarts} restart(s)) — likely the f32 "
-                    f"rounding floor; wrap in solve_shifted_ir or pass "
-                    f"early_stop=False.",
-                    stacklevel=2,
-                )
-                break
+                    worst = float(np.sqrt((rn2 / bn2_safe).max()))
+                    warnings.warn(
+                        f"solve_shifted_chunked_multi: worst relative "
+                        f"residual {worst:.3e} after {iters} iterations "
+                        f"improved <2% over the last {3 * chunk} "
+                        f"iterations (after {restarts} restart(s)) — "
+                        f"likely the f32 rounding floor; wrap in "
+                        f"solve_shifted_ir or pass early_stop=False.",
+                        stacklevel=2,
+                    )
+                    stop = "stall"
+                    break
             window_rn2 = rn2
     xs = best_xs
+    if stats is not None:
+        best_np = np.asarray(best_rn2)
+        stats.update(
+            iters=iters, restarts=restarts, stop=stop,
+            start_rel=1.0,
+            end_rel=float(np.sqrt((best_np / bn2_safe).max())),
+        )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
         xs = apply_M_only(m_coeffs, shifted_diag, shift, extra,

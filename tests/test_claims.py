@@ -93,6 +93,29 @@ def test_check_tolerates_benchmark_noise(claims_env):
     assert bench_claims.check_readme() == 0
 
 
+def test_thousands_separators_not_split(claims_env):
+    """Round-4 postmortem: the renderer emits thousands separators
+    ("10,015 tracer-steps/s") but NUM had no comma handling, so
+    `_numbers` split such cells into fragments and compared garbage
+    pairwise — flagging a 784-vs-812 µs agreement as "199 vs 849"
+    drift, and potentially masking real drift by misaligning lists."""
+    assert bench_claims._numbers("10,015 tracer-steps/s") == [10015.0]
+    bench_claims.update_readme()
+    latest, _ = claims_env
+    # within-noise change that crosses a thousands boundary: must PASS
+    latest.write_text(SAMPLE.replace(
+        "100 us/tracer (10015 tracer-steps/s",
+        "103 us/tracer (9684 tracer-steps/s",
+    ))
+    assert bench_claims.check_readme() == 0
+    # genuine 3x drift in a comma-rendered number: must FAIL
+    latest.write_text(SAMPLE.replace(
+        "100 us/tracer (10015 tracer-steps/s",
+        "300 us/tracer (3338 tracer-steps/s",
+    ))
+    assert bench_claims.check_readme() == 1
+
+
 def test_residuals_compared_by_exponent(claims_env):
     bench_claims.update_readme()
     latest, _ = claims_env

@@ -899,3 +899,142 @@ def test_ir_chunked_inner_path(ops, gridmetrics, indices, monkeypatch):
         inner_algorithm="bicgstab",
     )
     assert float(rel1) < 1e-9
+
+
+def _skew_case(ops, gridmetrics, indices, seed=5):
+    wet = np.asarray(indices.wet3d).astype(np.float32)
+    z = jnp.zeros_like(ops.T.diag, dtype=jnp.float32)
+    w = jnp.asarray(wet)
+    skew = ops.T._replace(
+        diag=z + 1e-6 * w, east=z + w, west=z - w, north=z, south=z,
+        top=z, bottom=z,
+    )
+    rng = np.random.default_rng(seed)
+    b = (wet * rng.standard_normal(wet.shape)).astype(np.float32)
+    return skew, b, wet
+
+
+def test_chunked_divergence_exit_stops_early(ops, gridmetrics, indices):
+    """In-pass divergence exit (round-4 verdict #3): a chunk sequence
+    whose recurrence residual climbs above 4x its pass-start value must
+    abort instead of burning the whole budget (with max_restarts=0, the
+    IR inner-solve configuration)."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked
+
+    skew, b, _ = _skew_case(ops, gridmetrics, indices)
+    topo = gridmetrics.topology
+    stats = {}
+    _, res = solve_shifted_chunked(
+        skew, b, topo, shift=np.float32(0.0), tol=1e-300,
+        maxiter=3000, chunk=10, preconditioner="jacobi",
+        max_restarts=0, stats=stats,
+    )
+    assert stats["stop"] in ("diverged", "stall")
+    # the skew recurrence blows past 4x within a few chunks; the exit
+    # must fire long before the 3000-iteration budget
+    assert stats["iters"] < 1000
+    assert 0.0 < float(res) <= 1.0 + 1e-5  # best iterate still protects
+    assert stats["end_rel"] <= 1.0 + 1e-5
+
+
+def test_chunked_stats_on_convergence(ops, gridmetrics, indices):
+    from otmb_tpu.models.solvers import solve_shifted_chunked
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(11)
+    b = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0).astype(
+        np.float32)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    stats = {}
+    x, res = solve_shifted_chunked(
+        c32, b, topo, shift=np.float32(1e-3), tol=1e-5, chunk=25,
+        stats=stats,
+    )
+    assert stats["stop"] == "converged"
+    assert 0 < stats["iters"] <= 2000
+    assert stats["restarts"] == 0
+    assert stats["end_rel"] <= 1e-5 * 1.5
+    assert float(res) < 1e-4
+
+
+def test_chunked_multi_per_member_restart_and_stats(ops, gridmetrics,
+                                                    indices):
+    """Batched engine: a diverging member triggers a PER-MEMBER restart
+    (advisor round 4: converged/improving members must not suppress or
+    be disturbed by a stalled member's restart). Pair a well-conditioned
+    RHS with a skew-dominated one via a member-dependent operator is not
+    possible (shared operator), so instead check that with a skew
+    operator both members exit early with stats populated and protected
+    residuals."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked_multi
+
+    skew, b, wet = _skew_case(ops, gridmetrics, indices)
+    topo = gridmetrics.topology
+    rng = np.random.default_rng(7)
+    bs = np.stack([b, (wet * rng.standard_normal(wet.shape)).astype(
+        np.float32)])
+    stats = {}
+    _, res = solve_shifted_chunked_multi(
+        skew, bs, topo, shift=np.float32(0.0), tol=1e-300,
+        maxiter=3000, chunk=10, preconditioner="jacobi",
+        max_restarts=1, stats=stats,
+    )
+    assert stats["stop"] in ("diverged", "stall")
+    assert stats["iters"] < 1500
+    assert stats["restarts"] >= 1
+    assert float(np.max(np.asarray(res))) <= 1.0 + 1e-5
+
+
+def test_ir_stats_per_pass(ops, gridmetrics, indices):
+    """solve_shifted_ir reports per-pass diagnostics (round-4 verdict
+    weak #7: slow solves were undiagnosable from artifacts alone)."""
+    from otmb_tpu.models.solvers import solve_shifted_ir
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ones = np.where(wet, 1.0, 0.0)
+    surf = np.zeros(gridmetrics.shape)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    stats = {}
+    x, rel = solve_shifted_ir(
+        c32, ones, topo, extra_diag=surf, tol=1e-9, stats=stats,
+    )
+    assert float(rel) < 1e-9
+    assert stats["refinements"] == len(stats["passes"]) >= 1
+    assert stats["rel_final"] == float(rel)
+    p0 = stats["passes"][0]
+    assert p0["rel_start"] == 1.0  # defect of x0 = 0 is b
+    assert p0["reverted"] is False
+    rels = [p["rel_start"] for p in stats["passes"]]
+    assert rels == sorted(rels, reverse=True)  # monotone contraction
+
+
+def test_resolve_apply_impl_demotion_signal(ops, gridmetrics, indices,
+                                            monkeypatch):
+    """Machine-readable demotion signal (round-4 verdict weak #8):
+    resolve_apply_impl reports when solve_shifted would silently demote
+    pallas -> jnp at j-blocked grid sizes on a real TPU."""
+    from otmb_tpu import resolve_apply_impl
+    from otmb_tpu.ops import stencil_pallas as SP
+
+    topo = gridmetrics.topology
+    # off-TPU (tests): no demotion ever
+    assert resolve_apply_impl(topo, jnp.float32, "pallas") == "pallas"
+    assert resolve_apply_impl(topo, jnp.float32, "jnp") == "jnp"
+
+    # pretend we are on a real TPU: small grids stay pallas, blocked
+    # grids demote
+    monkeypatch.setattr(SP, "_default_interpret", lambda: False)
+    assert resolve_apply_impl(topo, jnp.float32, "pallas") == "pallas"
+
+    class FakeTopo:
+        shape3d = (75, 1080, 1440)  # 0.25-degree: j-blocked
+        is_tripolar = True
+
+    assert resolve_apply_impl(FakeTopo(), jnp.float32, "pallas") == "jnp"
+    # the mesh path is never demoted (it is the sharded production path)
+    assert resolve_apply_impl(
+        FakeTopo(), jnp.float32, "pallas", mesh=object()) == "pallas-halo"
