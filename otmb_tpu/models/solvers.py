@@ -1043,13 +1043,20 @@ def solve_shifted_chunked(
     else:
         raise ValueError(f"unknown preconditioner {preconditioner!r}")
 
+    # Pre-bake the scalar shift and the extra diagonal INTO the stencil
+    # diagonal: the matvec then needs no post-kernel `shift*x + extra*x`
+    # elementwise pass (a ~4-stream HBM pass per operator application —
+    # two per Krylov iteration at grid scale). transpose_coeffs keeps
+    # the diagonal, so this is valid for adjoint solves too.
+    a_coeffs = apply_coeffs._replace(diag=shifted_diag)
+
     # Every device array is a jit ARGUMENT: closing over the multi-GB
     # coefficient/preconditioner fields would bake them into the lowered
     # program as constants and ship them through the (remote) compiler.
     # The Krylov state (5 grid-sized vectors) is donated: the next chunk
     # overwrites it in place instead of holding two copies live.
-    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(5,))
-    def run_chunk(c_l, mc_l, md_l, shift_l, extra_l, state, nsteps: int):
+    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(3,))
+    def run_chunk(c_l, mc_l, md_l, state, nsteps: int):
         if preconditioner == "tridiag":
             # Fused Pallas Thomas kernel: both sweeps in VMEM, 5 HBM
             # streams instead of the jnp scans' ~9 — the preconditioner
@@ -1069,8 +1076,7 @@ def solve_shifted_chunked(
             M = _jacobi_preconditioner(md_l)
 
         def a_op(x):
-            return (shift_l * x + extra_l * x
-                    + apply_stencil_pallas(c_l, x, topology, interpret))
+            return apply_stencil_pallas(c_l, x, topology, interpret)
 
         def body(_, st):
             x, r, p, rhat0, rho = st
@@ -1096,7 +1102,7 @@ def solve_shifted_chunked(
         rnorm2 = jnp.vdot(state[1], state[1]).real
         return state, rnorm2
 
-    def _make_MK(mc_l, md_l, shift_l, extra_l, c_l):
+    def _make_MK(mc_l, md_l, c_l):
         if preconditioner == "tridiag":
             from ..ops.tridiag_pallas import tridiag_solve_pallas
 
@@ -1110,14 +1116,13 @@ def solve_shifted_chunked(
             M = _jacobi_preconditioner(md_l)
 
         def a_op(x):
-            return (shift_l * x + extra_l * x
-                    + apply_stencil_pallas(c_l, x, topology, interpret))
+            return apply_stencil_pallas(c_l, x, topology, interpret)
 
         return M, a_op
 
-    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(5,))
-    def run_chunk2(c_l, mc_l, md_l, shift_l, extra_l, state, ncycles: int):
-        M, a_op = _make_MK(mc_l, md_l, shift_l, extra_l, c_l)
+    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
+    def run_chunk2(c_l, mc_l, md_l, state, ncycles: int):
+        M, a_op = _make_MK(mc_l, md_l, c_l)
 
         def K(v):
             return a_op(M(v))
@@ -1169,13 +1174,13 @@ def solve_shifted_chunked(
         return state, rnorm2
 
     @jax.jit
-    def apply_M_only(mc_l, md_l, shift_l, extra_l, c_l, y_l):
-        M, _ = _make_MK(mc_l, md_l, shift_l, extra_l, c_l)
+    def apply_M_only(mc_l, md_l, c_l, y_l):
+        M, _ = _make_MK(mc_l, md_l, c_l)
         return M(y_l)
 
     @jax.jit
-    def restart_from2(c_l, mc_l, md_l, shift_l, extra_l, y_l, b_l):
-        M, a_op = _make_MK(mc_l, md_l, shift_l, extra_l, c_l)
+    def restart_from2(c_l, mc_l, md_l, y_l, b_l):
+        M, a_op = _make_MK(mc_l, md_l, c_l)
         r = b_l - a_op(M(y_l))
         zero = jnp.zeros((), b_l.dtype)
         return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
@@ -1219,10 +1224,8 @@ def solve_shifted_chunked(
     stop = "maxiter"
 
     @jax.jit
-    def restart_from(c_l, md_l, shift_l, extra_l, x_l, b_l):
-        ax = (shift_l * x_l + extra_l * x_l
-              + apply_stencil_pallas(c_l, x_l, topology, interpret))
-        r = b_l - ax
+    def restart_from(c_l, x_l, b_l):
+        r = b_l - apply_stencil_pallas(c_l, x_l, topology, interpret)
         # x copied out of best_x's buffer: the returned state is donated
         # into the next chunk while best_x must survive.
         return (x_l + 0.0, r, r + 0.0, r + 0.0, jnp.vdot(r, r))
@@ -1232,27 +1235,23 @@ def solve_shifted_chunked(
         restarts += 1
         state = None  # free the grid vectors before rebuilding
         if algorithm == "bicgstab":
-            state = restart_from(
-                apply_coeffs, shifted_diag, shift, extra, best_x, b,
-            )
+            state = restart_from(a_coeffs, best_x, b)
         else:
-            state = restart_from2(
-                apply_coeffs, m_coeffs, shifted_diag, shift, extra,
-                best_x, b,
-            )
+            state = restart_from2(a_coeffs, m_coeffs, shifted_diag,
+                                  best_x, b)
         window_rn2 = float("inf")
         pass_rn2 = best_rn2
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         if algorithm == "bicgstab":
-            state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
-                                      shift, extra, state, nsteps)
+            state, rnorm2 = run_chunk(a_coeffs, m_coeffs, shifted_diag,
+                                      state, nsteps)
             iters += nsteps
         else:
             ncycles = max(1, nsteps // 2)
-            state, rnorm2 = run_chunk2(apply_coeffs, m_coeffs, shifted_diag,
-                                       shift, extra, state, ncycles)
+            state, rnorm2 = run_chunk2(a_coeffs, m_coeffs, shifted_diag,
+                                       state, ncycles)
             iters += 2 * ncycles
         rn2 = float(rnorm2)
         if rn2 < best_rn2:  # NaN-safe: NaN compares False
@@ -1341,18 +1340,15 @@ def solve_shifted_chunked(
         )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
-        x = apply_M_only(m_coeffs, shifted_diag, shift, extra,
-                         apply_coeffs, x)
+        x = apply_M_only(m_coeffs, shifted_diag, a_coeffs, x)
 
     @jax.jit
-    def final_res(c_l, shift_l, extra_l, x_l, b_l):
-        ax = (shift_l * x_l + extra_l * x_l
-              + apply_stencil_pallas(c_l, x_l, topology, interpret))
-        r = ax - b_l
+    def final_res(c_l, x_l, b_l):
+        r = apply_stencil_pallas(c_l, x_l, topology, interpret) - b_l
         bn = jnp.sqrt(jnp.vdot(b_l, b_l).real)
         return jnp.sqrt(jnp.vdot(r, r).real) / jnp.where(bn == 0, 1.0, bn)
 
-    res = final_res(apply_coeffs, shift, extra, x, b)
+    res = final_res(a_coeffs, x, b)
     return x, res
 
 
@@ -1443,10 +1439,15 @@ def solve_shifted_chunked_multi(
     dot = lambda u, v: jnp.sum(u * v, axis=axes)  # (B,); fields are real
     bx = lambda s: s[:, None, None, None]
 
+    # Shift and extra diagonal pre-baked into the stencil diagonal: no
+    # post-kernel elementwise pass per batched matvec (see
+    # solve_shifted_chunked).
+    a_coeffs = apply_coeffs._replace(diag=shifted_diag)
+
     # Device arrays as jit ARGUMENTS, donated Krylov state — same memory
     # discipline as solve_shifted_chunked (multi-GB fields at 0.25 deg).
-    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(5,))
-    def run_chunk(c_l, mc_l, md_l, shift_l, extra_l, state, nsteps: int):
+    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(3,))
+    def run_chunk(c_l, mc_l, md_l, state, nsteps: int):
         if preconditioner == "tridiag":
             # Fused Pallas Thomas kernel, vmapped over the batch (the
             # batch axis becomes an outer grid dimension; coefficient
@@ -1468,8 +1469,7 @@ def solve_shifted_chunked_multi(
             M = M1  # elementwise; broadcasts over the batch
 
         def a_op(xs):
-            txs = apply_stencil_pallas_multi(c_l, xs, topology, interpret)
-            return shift_l * xs + extra_l * xs + txs
+            return apply_stencil_pallas_multi(c_l, xs, topology, interpret)
 
         def body(_, st):
             xs, r, p, rhat0, rho = st
@@ -1495,7 +1495,7 @@ def solve_shifted_chunked_multi(
         rnorm2 = dot(state[1], state[1])
         return state, rnorm2
 
-    def _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l):
+    def _make_MK_multi(mc_l, md_l, c_l):
         if preconditioner == "tridiag":
             from ..ops.tridiag_pallas import tridiag_solve_pallas
 
@@ -1512,14 +1512,13 @@ def solve_shifted_chunked_multi(
             M = _jacobi_preconditioner(md_l)
 
         def a_op(xs):
-            txs = apply_stencil_pallas_multi(c_l, xs, topology, interpret)
-            return shift_l * xs + extra_l * xs + txs
+            return apply_stencil_pallas_multi(c_l, xs, topology, interpret)
 
         return M, a_op
 
-    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(5,))
-    def run_chunk2(c_l, mc_l, md_l, shift_l, extra_l, state, ncycles: int):
-        M, a_op = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
+    def run_chunk2(c_l, mc_l, md_l, state, ncycles: int):
+        M, a_op = _make_MK_multi(mc_l, md_l, c_l)
 
         def K(vs):
             return a_op(M(vs))
@@ -1571,13 +1570,13 @@ def solve_shifted_chunked_multi(
         return state, rnorm2
 
     @jax.jit
-    def apply_M_only(mc_l, md_l, shift_l, extra_l, c_l, y_l):
-        M, _ = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+    def apply_M_only(mc_l, md_l, c_l, y_l):
+        M, _ = _make_MK_multi(mc_l, md_l, c_l)
         return M(y_l)
 
     @jax.jit
-    def restart_from2(c_l, mc_l, md_l, shift_l, extra_l, y_l, bs_l):
-        M, a_op = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+    def restart_from2(c_l, mc_l, md_l, y_l, bs_l):
+        M, a_op = _make_MK_multi(mc_l, md_l, c_l)
         r = bs_l - a_op(M(y_l))
         B = bs_l.shape[0]
         ones_b = jnp.ones((B,), bs_l.dtype)
@@ -1635,22 +1634,19 @@ def solve_shifted_chunked_multi(
             mask_d[(slice(None),) + (None,) * (o.ndim - 1)], n, o)
         return tuple(pick(o, n) for o, n in zip(old, new))
 
-    @_partial(jax.jit, donate_argnums=(3,))
-    def restart_members(c_l, shift_l, extra_l, state_old, xs_best, bs_l,
-                        mask_d):
+    @_partial(jax.jit, donate_argnums=(1,))
+    def restart_members(c_l, state_old, xs_best, bs_l, mask_d):
         """Fresh Krylov space from the best iterate for the members in
         `mask_d` only; other members' state passes through untouched."""
-        axs = (shift_l * xs_best + extra_l * xs_best
-               + apply_stencil_pallas_multi(c_l, xs_best, topology,
-                                            interpret))
-        r = bs_l - axs
+        r = bs_l - apply_stencil_pallas_multi(c_l, xs_best, topology,
+                                              interpret)
         new = (xs_best + 0.0, r, r + 0.0, r + 0.0, dot(r, r))
         return _blend(state_old, new, mask_d)
 
-    @_partial(jax.jit, donate_argnums=(4,))
-    def restart_members2(c_l, mc_l, md_l, shift_l, state_old, extra_l,
-                         xs_best, bs_l, mask_d):
-        M, a_op = _make_MK_multi(mc_l, md_l, shift_l, extra_l, c_l)
+    @_partial(jax.jit, donate_argnums=(3,))
+    def restart_members2(c_l, mc_l, md_l, state_old, xs_best, bs_l,
+                         mask_d):
+        M, a_op = _make_MK_multi(mc_l, md_l, c_l)
         r = bs_l - a_op(M(xs_best))
         ones_b = jnp.ones((B,), bs_l.dtype)
         new = (xs_best + 0.0, r, jnp.zeros_like(r), r + 0.0,
@@ -1662,26 +1658,23 @@ def solve_shifted_chunked_multi(
         restarts += 1
         mask_d = jnp.asarray(mask)
         if algorithm == "bicgstab":
-            state = restart_members(apply_coeffs, shift, extra, state,
-                                    best_xs, bs, mask_d)
+            state = restart_members(a_coeffs, state, best_xs, bs, mask_d)
         else:
-            state = restart_members2(apply_coeffs, m_coeffs, shifted_diag,
-                                     shift, state, extra, best_xs, bs,
-                                     mask_d)
+            state = restart_members2(a_coeffs, m_coeffs, shifted_diag,
+                                     state, best_xs, bs, mask_d)
         window_rn2 = np.where(mask, np.inf, window_rn2)
         pass_rn2 = np.where(mask, np.asarray(best_rn2), pass_rn2)
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         if algorithm == "bicgstab":
-            state, rnorm2 = run_chunk(apply_coeffs, m_coeffs, shifted_diag,
-                                      shift, extra, state, nsteps)
+            state, rnorm2 = run_chunk(a_coeffs, m_coeffs, shifted_diag,
+                                      state, nsteps)
             iters += nsteps
         else:
             ncycles = max(1, nsteps // 2)
-            state, rnorm2 = run_chunk2(apply_coeffs, m_coeffs,
-                                       shifted_diag, shift, extra, state,
-                                       ncycles)
+            state, rnorm2 = run_chunk2(a_coeffs, m_coeffs, shifted_diag,
+                                       state, ncycles)
             iters += 2 * ncycles
         best_xs, best_rn2 = keep_best(best_xs, best_rn2, state[0], rnorm2)
         rn2 = np.asarray(rnorm2)
@@ -1749,16 +1742,13 @@ def solve_shifted_chunked_multi(
         )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
-        xs = apply_M_only(m_coeffs, shifted_diag, shift, extra,
-                          apply_coeffs, xs)
+        xs = apply_M_only(m_coeffs, shifted_diag, a_coeffs, xs)
 
     @jax.jit
-    def final_res(c_l, shift_l, extra_l, xs_l, bs_l):
-        axs = (shift_l * xs_l + extra_l * xs_l
-               + apply_stencil_pallas_multi(c_l, xs_l, topology, interpret))
-        r = axs - bs_l
+    def final_res(c_l, xs_l, bs_l):
+        r = apply_stencil_pallas_multi(c_l, xs_l, topology, interpret) - bs_l
         bn = jnp.sqrt(dot(bs_l, bs_l))
         return jnp.sqrt(dot(r, r)) / jnp.where(bn == 0, 1.0, bn)
 
-    res = final_res(apply_coeffs, shift, extra, xs, bs)
+    res = final_res(a_coeffs, xs, bs)
     return xs, res
