@@ -969,10 +969,18 @@ def solve_shifted_chunked(
     max_restarts: int = 2,
     algorithm: str = "bicgstab",
     stats: dict | None = None,
+    fused: bool | None = None,
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
     j-blocked kernel.
+
+    `fused` (default: auto) routes `algorithm="bicgstab2"` iterations
+    through the fused Krylov-step kernel (`ops/krylov_pallas.py`): each
+    half-iteration's vector combination + Thomas apply + stencil matvec
+    + dot in ONE HBM sweep. Auto-enables with the tridiag
+    preconditioner whenever the grid admits a legal fused j-block; pass
+    False to force the separate-pass composition (A/B benching).
 
     `stats`, if given a dict, is filled with per-solve diagnostics:
     ``iters`` (matvec-pairs used), ``restarts``, ``stop`` (one of
@@ -1050,6 +1058,17 @@ def solve_shifted_chunked(
     # the diagonal, so this is valid for adjoint solves too.
     a_coeffs = apply_coeffs._replace(diag=shifted_diag)
 
+    if fused is None:
+        from ..ops.krylov_pallas import _pick_j_block_krylov
+
+        nz_, ny_, nx_ = topology.shape3d
+        fused = (
+            algorithm == "bicgstab2"
+            and preconditioner == "tridiag"
+            and _pick_j_block_krylov(nz_, ny_, nx_, b.dtype.itemsize,
+                                     96 * 1024 * 1024) is not None
+        )
+
     # Every device array is a jit ARGUMENT: closing over the multi-GB
     # coefficient/preconditioner fields would bake them into the lowered
     # program as constants and ship them through the (remote) compiler.
@@ -1119,6 +1138,70 @@ def solve_shifted_chunked(
             return apply_stencil_pallas(c_l, x, topology, interpret)
 
         return M, a_op
+
+    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
+    def run_chunk2_fused(c_l, mc_l, md_l, state, ncycles: int):
+        """BiCGStab(2) cycles on the FUSED Krylov-step kernel
+        (ops/krylov_pallas.py): each half-iteration's vector
+        combination, Thomas preconditioner apply, stencil matvec, and
+        <rhat, .> dot run as ONE two-phase HBM sweep (~13 streams)
+        instead of four separate passes (~19 streams) — the round-4
+        verdict's "fuse the Krylov vector algebra" item. Algebra is
+        identical to `run_chunk2` below; only the dots' summation order
+        differs (per-block f32 partials)."""
+        from ..ops.krylov_pallas import fused_krylov_step
+
+        guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+        m_lo, m_up = mc_l.bottom, mc_l.top
+        one = jnp.ones((), b.dtype)
+        guard = lambda d: jnp.where(d == 0, one, d)
+
+        def fk(x1, x2, cc, rhat=None):
+            z, out, d = fused_krylov_step(
+                c_l, m_lo, guarded, m_up, x1, x2, cc, rhat,
+                topology, interpret=interpret,
+                with_combine=x2 is not None, with_dot=rhat is not None,
+            )
+            return z, out, (None if d is None else d.astype(b.dtype))
+
+        def cycle(_, st):
+            y, r0, u0, rhat, rho0, alpha, omega = st
+            rho0 = -omega * rho0
+            # BiCG step j = 0
+            rho1 = jnp.vdot(rhat, r0)
+            beta = alpha * rho1 / guard(rho0)
+            rho0 = rho1
+            u0, u1, d1 = fk(r0, u0, -beta, rhat)
+            alpha = rho0 / guard(d1)
+            r0, r1, d2 = fk(r0, u1, -alpha, rhat)
+            y = y + alpha * u0
+            # BiCG step j = 1
+            rho1 = d2
+            beta = alpha * rho1 / guard(rho0)
+            rho0 = rho1
+            u0 = r0 - beta * u0
+            u1, u2, d3 = fk(r1, u1, -beta, rhat)
+            alpha = rho0 / guard(d3)
+            r0 = r0 - alpha * u1
+            r1, r2, _ = fk(r1, u2, -alpha, None)
+            y = y + alpha * u0
+            # 2D minimal-residual polish: min ||r0 - w1 r1 - w2 r2||
+            t11 = jnp.vdot(r1, r1)
+            t12 = jnp.vdot(r1, r2)
+            t22 = jnp.vdot(r2, r2)
+            s1 = jnp.vdot(r0, r1)
+            s2 = jnp.vdot(r0, r2)
+            det = guard(t11 * t22 - t12 * t12)
+            w1 = (t22 * s1 - t12 * s2) / det
+            w2 = (t11 * s2 - t12 * s1) / det
+            y = y + w1 * r0 + w2 * r1
+            r0 = r0 - w1 * r1 - w2 * r2
+            u0 = u0 - w1 * u1 - w2 * u2
+            return (y, r0, u0, rhat, rho0, alpha, w2)
+
+        state = jax.lax.fori_loop(0, ncycles, cycle, state)
+        rnorm2 = jnp.vdot(state[1], state[1]).real
+        return state, rnorm2
 
     @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
     def run_chunk2(c_l, mc_l, md_l, state, ncycles: int):
@@ -1250,8 +1333,9 @@ def solve_shifted_chunked(
             iters += nsteps
         else:
             ncycles = max(1, nsteps // 2)
-            state, rnorm2 = run_chunk2(a_coeffs, m_coeffs, shifted_diag,
-                                       state, ncycles)
+            chunk2 = run_chunk2_fused if fused else run_chunk2
+            state, rnorm2 = chunk2(a_coeffs, m_coeffs, shifted_diag,
+                                   state, ncycles)
             iters += 2 * ncycles
         rn2 = float(rnorm2)
         if rn2 < best_rn2:  # NaN-safe: NaN compares False

@@ -1038,3 +1038,27 @@ def test_resolve_apply_impl_demotion_signal(ops, gridmetrics, indices,
     # the mesh path is never demoted (it is the sharded production path)
     assert resolve_apply_impl(
         FakeTopo(), jnp.float32, "pallas", mesh=object()) == "pallas-halo"
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_chunked_bicgstab2_fused_matches_composition(ops, gridmetrics,
+                                                     indices, transpose):
+    """The fused Krylov-step path (ops/krylov_pallas.py) must reach the
+    same solution as the separate-pass composition — only the dots'
+    summation order differs."""
+    from otmb_tpu.models.solvers import solve_shifted_chunked
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    rng = np.random.default_rng(77)
+    b = np.where(wet, rng.standard_normal(gridmetrics.shape), 0.0).astype(
+        np.float32)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    kw = dict(shift=np.float32(1e-3), tol=1e-6, chunk=20,
+              algorithm="bicgstab2", transpose=transpose)
+    xf, rf = solve_shifted_chunked(c32, b, topo, fused=True, **kw)
+    xc, rc = solve_shifted_chunked(c32, b, topo, fused=False, **kw)
+    assert float(rf) < 1e-5 and float(rc) < 1e-5
+    scale = float(np.abs(np.asarray(xc)).max())
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xc),
+                               atol=2e-4 * scale, rtol=0)
