@@ -460,6 +460,12 @@ def solve_shifted_ir(
     chunked_inner = (method == "bicgstab"
                      and _use_chunked(apply_impl, mesh, False, topology,
                                       narrow))
+    # Mesh analogue: at shard-blocked sizes the while_loop halo solver
+    # is the unproven runtime pattern; route the inner f32 solves
+    # through the sharded fori-chunked engine instead.
+    halo_chunked_inner = (method == "bicgstab"
+                          and _use_halo_chunked(apply_impl, mesh, False,
+                                                topology, narrow))
     if method != "bicgstab" and _use_chunked(apply_impl, mesh, False,
                                              topology, narrow):
         import warnings
@@ -478,7 +484,9 @@ def solve_shifted_ir(
     # 0.25 degree). 600 holds the measured useful-work envelope there;
     # small grids converge long before any cap matters.
     if inner_maxiter is None:
-        inner_maxiter = min(maxiter, 600) if chunked_inner else maxiter
+        inner_maxiter = (min(maxiter, 600)
+                         if (chunked_inner or halo_chunked_inner)
+                         else maxiter)
     else:
         inner_maxiter = min(maxiter, inner_maxiter)
 
@@ -594,6 +602,25 @@ def solve_shifted_ir(
                 inner_restarts=inner_stats.get("restarts"),
                 inner_end_rel=inner_stats.get("end_rel"),
             )
+        elif halo_chunked_inner:
+            from ..parallel.solve_halo_chunked import (
+                solve_shifted_halo_chunked,
+            )
+
+            inner_stats = {}
+            d, _ = solve_shifted_halo_chunked(
+                coeffs, rhs, topology, mesh, shift=shift,
+                extra_diag=extra_diag, tol=inner_tol,
+                maxiter=inner_maxiter, transpose=transpose,
+                preconditioner=preconditioner, max_restarts=0,
+                algorithm=inner_algorithm, stats=inner_stats,
+            )
+            pass_entry.update(
+                inner_iters=inner_stats.get("iters"),
+                inner_stop=inner_stats.get("stop"),
+                inner_restarts=inner_stats.get("restarts"),
+                inner_end_rel=inner_stats.get("end_rel"),
+            )
         else:
             d, _ = solve_shifted(
                 coeffs, rhs, topology, shift=shift,
@@ -641,6 +668,33 @@ def _use_chunked(apply_impl, mesh, refine, topology, dtype) -> bool:
     return blocked_unstable_in_while(topology, jnp.dtype(dtype).itemsize)
 
 
+def _shard_blocked(topology, mesh, dtype) -> bool:
+    """True when the PER-SHARD grid of `topology` decomposed over `mesh`
+    would resolve to the j-blocked stencil kernel on a real TPU — the
+    size class at which this repo refuses Pallas-in-while_loop (see
+    `blocked_unstable_in_while`) and mesh solves must route through the
+    fori-chunked `parallel.solve_halo_chunked` engine instead of the
+    while_loop `parallel.solve_halo` one."""
+    if mesh is None:
+        return False
+    from ..ops.stencil_pallas import blocked_unstable_in_while
+
+    my = mesh.shape.get("y", 1)
+    mx = mesh.shape.get("x", 1)
+    sub = topology.__class__(
+        kind=topology.kind, nx=max(1, topology.nx // mx),
+        ny=max(1, topology.ny // my), nz=topology.nz,
+    )
+    return blocked_unstable_in_while(sub, jnp.dtype(dtype).itemsize)
+
+
+def _use_halo_chunked(apply_impl, mesh, refine, topology, dtype) -> bool:
+    """Mesh analogue of `_use_chunked`: route non-refined mesh solves
+    through the sharded host-chunked engine at shard-blocked sizes."""
+    return (apply_impl == "pallas" and mesh is not None and not refine
+            and _shard_blocked(topology, mesh, dtype))
+
+
 def ideal_age(
     coeffs: StencilCoeffs,
     wet3d,
@@ -673,6 +727,14 @@ def ideal_age(
         gamma, res = solve_shifted_chunked(
             coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
             stats=stats,
+        )
+        return jnp.where(wet, gamma, jnp.nan), res
+    if _use_halo_chunked(apply_impl, mesh, refine, topology, dtype):
+        from ..parallel.solve_halo_chunked import solve_shifted_halo_chunked
+
+        gamma, res = solve_shifted_halo_chunked(
+            coeffs, ones, topology, mesh, shift=0.0, extra_diag=surf,
+            tol=tol, stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
     if refine:
@@ -718,6 +780,14 @@ def sequestration_time(
         gamma, res = solve_shifted_chunked(
             coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
             transpose=True, stats=stats,
+        )
+        return jnp.where(wet, gamma, jnp.nan), res
+    if _use_halo_chunked(apply_impl, mesh, refine, topology, dtype):
+        from ..parallel.solve_halo_chunked import solve_shifted_halo_chunked
+
+        gamma, res = solve_shifted_halo_chunked(
+            coeffs, ones, topology, mesh, shift=0.0, extra_diag=surf,
+            tol=tol, transpose=True, stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
     if refine:
