@@ -133,25 +133,72 @@ def main():
 
     if args.workload == "idealage":
         # Steady-state ideal mean age on the FULL grid, solved matrix-free
-        # with f32 Krylov + f64 iterative refinement to ~1e-10 relative
-        # residual. Reference anecdote: (T_c+M_c)\s on a 2x2x1-COARSENED
-        # (4x smaller) ACCESS matrix takes ~3 min on an M2 MacBook Air
-        # (test/local_full.jl:165-168) — used as the baseline time even
-        # though this solve is at full resolution.
+        # with f32 Krylov + f64 iterative refinement. Reference anecdote:
+        # (T_c+M_c)\s on a 2x2x1-COARSENED (4x smaller) ACCESS matrix
+        # takes ~3 min on an M2 MacBook Air (test/local_full.jl:165-168)
+        # — used as the baseline time even though this solve is at full
+        # resolution.
         coeffs = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float32), coeffs
         )
+
+        def stats_lines(st, label):
+            for i, p in enumerate(st.get("passes", [])):
+                extra = ""
+                if p.get("inner_iters") is not None:
+                    extra = (f", inner {p['inner_iters']} iters -> "
+                             f"{p.get('inner_stop')} "
+                             f"(end rel {p.get('inner_end_rel'):.2e})")
+                rev = " [reverted]" if p.get("reverted") else ""
+                print(f"#   {label} pass {i}: defect rel "
+                      f"{p['rel_start']:.2e}{rev}{extra}", file=sys.stderr)
+
+        if args.scale == "quarter":
+            # One COLD solve including compile, matching the in-bench
+            # 0.25-degree tail (tol 1e-5); per-pass stats make the time
+            # budget attributable from this artifact alone.
+            st = {}
+            t0 = time.perf_counter()
+            gamma, res = otmb.ideal_age(
+                coeffs, wet3d, topo, tol=1e-5, apply_impl="pallas",
+                refine=True, stats=st,
+            )
+            resf = float(res)
+            t_solve = time.perf_counter() - t0
+            mean_age_yr = float(jnp.nanmean(gamma)) / (86400 * 365.25)
+            print(
+                f"# ideal-age solve ({nx}x{ny}x{nz}, 0.25-degree, incl. "
+                f"compile): {t_solve:.2f} s, rel residual {resf:.2e}, "
+                f"mean age {mean_age_yr:.2f} yr", file=sys.stderr,
+            )
+            stats_lines(st, "idealage")
+            assert resf < 1e-4
+            baseline_s = 180.0
+            print(json.dumps({
+                "metric": "ideal-age steady-state solve seconds, "
+                          f"uncoarsened {nx}x{ny}x{nz} 0.25-degree grid "
+                          "(f64-refined; reference: ~180 s direct solve "
+                          "on a 4x-coarsened 1-degree matrix, 36x fewer "
+                          "cells)",
+                "value": t_solve,
+                "unit": "seconds",
+                "vs_baseline": baseline_s / t_solve,
+            }))
+            return
+
         gamma, res = otmb.ideal_age(
             coeffs, wet3d, topo, tol=1e-9, apply_impl="pallas", refine=True
         )
         float(res)  # warm-up/compile
         ts = []
+        st = {}
         for k in range(3):
             rate = np.float32(1.0 + 1e-3 * (k + 1))
+            st = {}
             t0 = time.perf_counter()
             gamma, res = otmb.ideal_age(
                 coeffs, wet3d, topo, tol=1e-9, surface_rate=rate,
-                apply_impl="pallas", refine=True,
+                apply_impl="pallas", refine=True, stats=st,
             )
             resf = float(res)
             ts.append(time.perf_counter() - t0)
@@ -162,6 +209,7 @@ def main():
             f"{t_solve:.2f} s, rel residual {resf:.2e}, mean age "
             f"{mean_age_yr:.2f} yr", file=sys.stderr,
         )
+        stats_lines(st, "idealage")
         assert resf < 1e-8
         baseline_s = 180.0
         print(json.dumps({
@@ -804,14 +852,28 @@ def main():
                 # Free the build inputs: the f64 refinement state at this
                 # size needs the ~3 GB they hold.
                 qgm = qumo = qvmo = qml = qchi = None
+                def _stats_lines(st, label):
+                    for i, p in enumerate(st.get("passes", [])):
+                        extra = ""
+                        if p.get("inner_iters") is not None:
+                            extra = (
+                                f", inner {p['inner_iters']} iters -> "
+                                f"{p.get('inner_stop')} (end rel "
+                                f"{p.get('inner_end_rel'):.2e})")
+                        rev = " [reverted]" if p.get("reverted") else ""
+                        print(f"#   {label} pass {i}: defect rel "
+                              f"{p['rel_start']:.2e}{rev}{extra}",
+                              file=sys.stderr)
+
                 rq = None
+                qst = {}
                 try:
                     jax.config.update("jax_enable_x64", True)
                     impl_used = "refined chunked-pallas"
                     t0 = time.perf_counter()
                     gamma_q, res_q = otmb.ideal_age(
                         qcoeffs, qwet, qtopo, tol=1e-5,
-                        apply_impl="pallas", refine=True,
+                        apply_impl="pallas", refine=True, stats=qst,
                     )
                     rq = float(res_q)
                     tq_age = time.perf_counter() - t0
@@ -824,10 +886,11 @@ def main():
                     # the configuration that has always completed on this
                     # hardware; floors near 1e-3 but reports a number.
                     impl_used = "f32-only chunked-pallas"
+                    qst = {}
                     t0 = time.perf_counter()
                     gamma_q, res_q = otmb.ideal_age(
                         qcoeffs, qwet, qtopo, tol=1e-3,
-                        apply_impl="pallas", refine=False,
+                        apply_impl="pallas", refine=False, stats=qst,
                     )
                     rq = float(res_q)
                     tq_age = time.perf_counter() - t0
@@ -839,7 +902,42 @@ def main():
                     f"{rq:.1e}, mean age {mean_q:.1f} yr",
                     file=sys.stderr,
                 )
+                _stats_lines(qst, "0.25-degree age")
                 gamma_q = None
+
+                # bf16-COEFFICIENT refined solve (round-4 verdict #5):
+                # same composition, the 7 coefficient streams at half
+                # width; the f64 defect correction converges against the
+                # bf16-rounded operator (correctness pinned by
+                # test_ir_bf16_narrow_coefficients).
+                try:
+                    qc16 = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), qcoeffs
+                    )
+                    jax.block_until_ready(qc16)
+                    q16st = {}
+                    jax.config.update("jax_enable_x64", True)
+                    try:
+                        t0 = time.perf_counter()
+                        g16, r16 = otmb.ideal_age(
+                            qc16, qwet, qtopo, tol=1e-5,
+                            apply_impl="pallas", refine=True, stats=q16st,
+                        )
+                        r16f = float(r16)
+                        t16 = time.perf_counter() - t0
+                    finally:
+                        jax.config.update("jax_enable_x64", False)
+                    m16 = float(jnp.nanmean(g16)) / (86400 * 365.25)
+                    print(
+                        f"# 0.25-degree ideal-age bf16-coefficient "
+                        f"refined: {t16:.1f} s incl. compile, rel "
+                        f"residual {r16f:.1e}, mean age {m16:.1f} yr",
+                        file=sys.stderr,
+                    )
+                    _stats_lines(q16st, "0.25-degree bf16 age")
+                    g16 = qc16 = None
+                except Exception as e:
+                    _print_failure("bf16-coefficient refined age", e)
 
                 # Batched fractions at 0.25 degree: fixed-iteration
                 # throughput of the chunked BATCHED Krylov (the
@@ -867,37 +965,52 @@ def main():
                         jnp.asarray(qwet)[None] & jnp.asarray(qmask)[:, None],
                         qsurf[None], 0.0,
                     )
-                    # warm-up (compile) then fixed-work timing
+                    # Warm-up (compile) then fixed-work timing, REPEATED:
+                    # round-4 verdict weak #2 — the single-shot number
+                    # swung 57% between runs and flipped the README
+                    # row's qualitative claim. Median + spread over 3
+                    # runs makes the row reproducible at the claims
+                    # channel's tolerance.
+                    reps = 3
                     solve_shifted_chunked_multi(
                         qcoeffs, qbs, qtopo, extra_diag=qsurf, tol=1e-30,
                         maxiter=50, early_stop=False,
                     )
-                    t0 = time.perf_counter()
-                    xs_q, _ = solve_shifted_chunked_multi(
-                        qcoeffs, qbs, qtopo, extra_diag=qsurf, tol=1e-30,
-                        maxiter=q_iters, early_stop=False,
-                    )
-                    jax.block_until_ready(xs_q)
-                    t_bat = time.perf_counter() - t0
-                    xs_q = None
+                    t_bats = []
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        xs_q, _ = solve_shifted_chunked_multi(
+                            qcoeffs, qbs, qtopo, extra_diag=qsurf,
+                            tol=1e-30, maxiter=q_iters, early_stop=False,
+                        )
+                        jax.block_until_ready(xs_q)
+                        t_bats.append(time.perf_counter() - t0)
+                        xs_q = None
                     solve_shifted_chunked(
                         qcoeffs, qbs[0], qtopo, extra_diag=qsurf, tol=1e-30,
                         maxiter=50, early_stop=False,
                     )
-                    t0 = time.perf_counter()
-                    x1_q, _ = solve_shifted_chunked(
-                        qcoeffs, qbs[0], qtopo, extra_diag=qsurf, tol=1e-30,
-                        maxiter=q_iters, early_stop=False,
-                    )
-                    jax.block_until_ready(x1_q)
-                    t_one = time.perf_counter() - t0
-                    x1_q = qbs = None
+                    t_ones = []
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        x1_q, _ = solve_shifted_chunked(
+                            qcoeffs, qbs[0], qtopo, extra_diag=qsurf,
+                            tol=1e-30, maxiter=q_iters, early_stop=False,
+                        )
+                        jax.block_until_ready(x1_q)
+                        t_ones.append(time.perf_counter() - t0)
+                        x1_q = None
+                    qbs = None
+                    t_bat = float(np.median(t_bats))
+                    t_one = float(np.median(t_ones))
+                    spread = 100.0 * (max(t_bats) - min(t_bats)) / t_bat
                     print(
                         f"# 0.25-degree batched fractions (R={R}, chunked, "
-                        f"{q_iters} iters): {t_bat:.1f} s = "
-                        f"{1e3 * t_bat / q_iters:.1f} ms/iter = "
-                        f"{1e3 * t_bat / q_iters / R:.1f} ms/iter/tracer "
-                        f"(single-RHS chunked: "
+                        f"{q_iters} iters, median of {reps}): {t_bat:.1f} s"
+                        f" = {1e3 * t_bat / q_iters:.1f} ms/iter = "
+                        f"{1e3 * t_bat / q_iters / R:.1f} ms/iter/tracer, "
+                        f"spread {spread:.0f}% "
+                        f"(single-RHS chunked median: "
                         f"{1e3 * t_one / q_iters:.1f} ms/iter)",
                         file=sys.stderr,
                     )

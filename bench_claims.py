@@ -196,17 +196,27 @@ def render_rows(text):
         "matrix — this is 36× the cell count, uncoarsened",
     )
     add(
+        "0.25° ideal-age, bf16-coefficient refined",
+        g(rf"0\.25-degree ideal-age bf16-coefficient refined: {NUM} s "
+          rf"incl\. compile, rel residual {NUM}"),
+        lambda s, res: f"{s:.0f} s incl. compile, to {res:.0e} "
+                       f"relative residual",
+        "coefficient streams at half width; f64 defect correction "
+        "converges against the bf16-rounded operator",
+    )
+    add(
         "0.25° batched fractions (R=2), chunked batched Krylov",
         g(rf"0\.25-degree batched fractions \(R=2, chunked, {NUM} "
-          rf"iters\): {NUM} s = {NUM} ms/iter = {NUM} ms/iter/tracer "
-          rf"\(single-RHS chunked: {NUM} ms/iter\)"),
-        lambda n, s, mpi, mpt, single: (
-            f"{mpt:.1f} ms/iter/tracer vs {single:.1f} ms/iter "
-            f"single-RHS ({single/mpt:.2f}× per tracer)"),
-        "honest caveat: at this size the batched matvec's stream sharing "
-        "is diluted — Krylov vector algebra dominates the iteration and "
-        "R=2 runs at the HBM ceiling (the clear batching wins are the "
-        "B=8 propagation rows above and R=4 fractions at 1°)",
+          rf"iters, median of {NUM}\): {NUM} s = {NUM} ms/iter = "
+          rf"{NUM} ms/iter/tracer, spread {NUM}% "
+          rf"\(single-RHS chunked median: {NUM} ms/iter\)"),
+        lambda n, reps, s, mpi, mpt, spread, single: (
+            f"{mpt:.1f} ms/iter/tracer (median of {reps:.0f}, spread "
+            f"{spread:.0f}%) vs {single:.1f} ms/iter single-RHS — "
+            f"{single/mpt:.2f}× per tracer"),
+        "fixed-work throughput; the per-tracer ratio is whatever the "
+        "median measurement says (it has swung both sides of 1.0 "
+        "run-to-run at this size, hence the published spread)",
     )
     return rows
 

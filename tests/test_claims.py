@@ -26,7 +26,8 @@ SAMPLE = """
 # ideal-age steady state (full resolution, f64-refined): 1.44 s, rel residual 2.19e-11, mean age 0.9 yr
 # batched water-mass fractions (R=4, 1-degree): 9.26 s, max rel residual 1.6e-06
 # 0.25-degree ideal-age steady state (f32 Krylov + f64 defect correction, refined chunked-pallas matvec): 169.6 s incl. compile, rel residual 5.9e-06, mean age 0.5 yr
-# 0.25-degree batched fractions (R=2, chunked, 150 iters): 33.2 s = 221.3 ms/iter = 110.7 ms/iter/tracer (single-RHS chunked: 180.1 ms/iter)
+# 0.25-degree ideal-age bf16-coefficient refined: 88.1 s incl. compile, rel residual 3.2e-06, mean age 0.5 yr
+# 0.25-degree batched fractions (R=2, chunked, 150 iters, median of 3): 16.8 s = 112.3 ms/iter = 56.2 ms/iter/tracer, spread 9% (single-RHS chunked median: 63.6 ms/iter)
 """
 
 
