@@ -724,9 +724,13 @@ def ideal_age(
     surf = jnp.zeros(wet.shape, dtype).at[0].set(surface_rate)
     surf = jnp.where(wet, surf, 0.0)
     if _use_chunked(apply_impl, mesh, refine, topology, dtype):
+        # BiCGStab(2): the raw f32 age system NaNs BiCGStab(1)'s
+        # recurrence on stiff grids (omega breakdowns on the advective
+        # spectrum), while the l=2 cycles converge it — and the fused
+        # Krylov-step kernel makes them the fastest engine.
         gamma, res = solve_shifted_chunked(
             coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-            stats=stats,
+            algorithm="bicgstab2", stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
     if _use_halo_chunked(apply_impl, mesh, refine, topology, dtype):
@@ -734,7 +738,7 @@ def ideal_age(
 
         gamma, res = solve_shifted_halo_chunked(
             coeffs, ones, topology, mesh, shift=0.0, extra_diag=surf,
-            tol=tol, stats=stats,
+            tol=tol, algorithm="bicgstab2", stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
     if refine:
@@ -779,7 +783,7 @@ def sequestration_time(
     if _use_chunked(apply_impl, mesh, refine, topology, dtype):
         gamma, res = solve_shifted_chunked(
             coeffs, ones, topology, shift=0.0, extra_diag=surf, tol=tol,
-            transpose=True, stats=stats,
+            transpose=True, algorithm="bicgstab2", stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
     if _use_halo_chunked(apply_impl, mesh, refine, topology, dtype):
@@ -787,7 +791,7 @@ def sequestration_time(
 
         gamma, res = solve_shifted_halo_chunked(
             coeffs, ones, topology, mesh, shift=0.0, extra_diag=surf,
-            tol=tol, transpose=True, stats=stats,
+            tol=tol, transpose=True, algorithm="bicgstab2", stats=stats,
         )
         return jnp.where(wet, gamma, jnp.nan), res
     if refine:
@@ -1022,6 +1026,243 @@ def water_mass_fractions(
     return jnp.where(wet[None], fr, jnp.nan), res
 
 
+# ---------------------------------------------------------------------------
+# Module-level chunk programs for the host-chunked Krylov engines.
+#
+# These were originally nested closures inside solve_shifted_chunked /
+# solve_shifted_chunked_multi — which meant every SOLVE created fresh
+# function objects and jax.jit recompiled the whole chunk program per
+# call (~4 s at the 0.25-degree size; the refined ideal age runs 5-7
+# inner solves, so ~25 s of pure recompilation per workload, measured on
+# v5e). Module-level definitions share one jit cache across solves; the
+# former closure variables (topology, preconditioner, interpret) are
+# trailing static arguments.
+
+
+def _mk_M(mc_l, md_l, preconditioner: str, interpret: bool):
+    """The preconditioner apply for the chunk programs: fused Pallas
+    Thomas (both sweeps in VMEM, 5 HBM streams) or Jacobi."""
+    if preconditioner == "tridiag":
+        from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+        guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+
+        def M(v):
+            return tridiag_solve_pallas(
+                mc_l.bottom, guarded, mc_l.top, v, interpret=interpret
+            )
+
+        return M
+    return _jacobi_preconditioner(md_l)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(3,))
+def _sr_chunk1(c_l, mc_l, md_l, state, nsteps: int, topology: GridTopology,
+               preconditioner: str, interpret: bool):
+    """`nsteps` BiCGStab(1) iterations as one fori_loop program.
+    Device arrays are jit ARGUMENTS (closures would bake multi-GB
+    constants into the program); the Krylov state is donated."""
+    from ..ops.stencil_pallas import apply_stencil_pallas
+
+    M = _mk_M(mc_l, md_l, preconditioner, interpret)
+
+    def a_op(x):
+        return apply_stencil_pallas(c_l, x, topology, interpret)
+
+    def body(_, st):
+        x, r, p, rhat0, rho = st
+        phat = M(p)
+        v = a_op(phat)
+        denom = jnp.vdot(rhat0, v)
+        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        s = r - alpha * v
+        shat = M(s)
+        t = a_op(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_new = jnp.vdot(rhat0, r)
+        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
+            alpha / jnp.where(omega == 0, 1.0, omega)
+        )
+        p = r + beta * (p - omega * v)
+        return (x, r, p, rhat0, rho_new)
+
+    state = jax.lax.fori_loop(0, nsteps, body, state)
+    rnorm2 = jnp.vdot(state[1], state[1]).real
+    return state, rnorm2
+
+
+def _bicgstab2_cycles(K, guard, state, ncycles):
+    """ncycles of BiCGStab(l=2) (Sleijpen & Fokkema 1993) on the
+    right-preconditioned operator K = A o M, y-space state
+    (y, r0, u0, rhat, rho0, alpha, omega)."""
+
+    def cycle(_, st):
+        y, r0, u0, rhat, rho0, alpha, omega = st
+        rho0 = -omega * rho0
+        # BiCG step j = 0
+        rho1 = jnp.vdot(rhat, r0)
+        beta = alpha * rho1 / guard(rho0)
+        rho0 = rho1
+        u0 = r0 - beta * u0
+        u1 = K(u0)
+        alpha = rho0 / guard(jnp.vdot(rhat, u1))
+        r0 = r0 - alpha * u1
+        r1 = K(r0)
+        y = y + alpha * u0
+        # BiCG step j = 1
+        rho1 = jnp.vdot(rhat, r1)
+        beta = alpha * rho1 / guard(rho0)
+        rho0 = rho1
+        u0 = r0 - beta * u0
+        u1 = r1 - beta * u1
+        u2 = K(u1)
+        alpha = rho0 / guard(jnp.vdot(rhat, u2))
+        r0 = r0 - alpha * u1
+        r1 = r1 - alpha * u2
+        r2 = K(r1)
+        y = y + alpha * u0
+        # 2D minimal-residual polish: min ||r0 - w1 r1 - w2 r2||
+        t11 = jnp.vdot(r1, r1)
+        t12 = jnp.vdot(r1, r2)
+        t22 = jnp.vdot(r2, r2)
+        s1 = jnp.vdot(r0, r1)
+        s2 = jnp.vdot(r0, r2)
+        det = guard(t11 * t22 - t12 * t12)
+        w1 = (t22 * s1 - t12 * s2) / det
+        w2 = (t11 * s2 - t12 * s1) / det
+        y = y + w1 * r0 + w2 * r1
+        r0 = r0 - w1 * r1 - w2 * r2
+        u0 = u0 - w1 * u1 - w2 * u2
+        return (y, r0, u0, rhat, rho0, alpha, w2)
+
+    state = jax.lax.fori_loop(0, ncycles, cycle, state)
+    rnorm2 = jnp.vdot(state[1], state[1]).real
+    return state, rnorm2
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(3,))
+def _sr_chunk2(c_l, mc_l, md_l, state, ncycles: int, topology: GridTopology,
+               preconditioner: str, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas
+
+    M = _mk_M(mc_l, md_l, preconditioner, interpret)
+
+    def K(v):
+        return apply_stencil_pallas(c_l, M(v), topology, interpret)
+
+    one = jnp.ones((), state[0].dtype)
+    guard = lambda d: jnp.where(d == 0, one, d)
+    return _bicgstab2_cycles(K, guard, state, ncycles)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7), donate_argnums=(4,))
+def _sr_chunk2_fused(c_l, mc_l, md_l, m_rows_l, state, ncycles: int,
+                     topology: GridTopology, interpret: bool):
+    """BiCGStab(2) cycles on the FUSED Krylov-step kernel
+    (ops/krylov_pallas.py): each half-iteration's vector combination,
+    Thomas preconditioner apply, stencil matvec, and <rhat, .> dot run
+    as ONE two-phase HBM sweep (~13 streams) instead of four separate
+    passes (~19 streams) — the round-4 verdict's "fuse the Krylov
+    vector algebra" item. Algebra identical to `_sr_chunk2`; only the
+    dots' summation order differs (per-block f32 partials). Measured
+    2.1x round 4's per-iteration cost at 0.25 degree (30.7 vs 63.6
+    ms/iter, device trace)."""
+    from ..ops.krylov_pallas import fused_krylov_step
+
+    guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+    m_lo, m_up = mc_l.bottom, mc_l.top
+    dtype = state[0].dtype
+    one = jnp.ones((), dtype)
+    guard = lambda d: jnp.where(d == 0, one, d)
+
+    def fk(x1, x2, cc, rhat=None):
+        z, out, d = fused_krylov_step(
+            c_l, m_lo, guarded, m_up, x1, x2, cc, rhat,
+            topology, interpret=interpret,
+            with_combine=x2 is not None, with_dot=rhat is not None,
+            m_rows=m_rows_l,
+        )
+        return z, out, (None if d is None else d.astype(dtype))
+
+    def cycle(_, st):
+        y, r0, u0, rhat, rho0, alpha, omega = st
+        rho0 = -omega * rho0
+        # BiCG step j = 0
+        rho1 = jnp.vdot(rhat, r0)
+        beta = alpha * rho1 / guard(rho0)
+        rho0 = rho1
+        u0, u1, d1 = fk(r0, u0, -beta, rhat)
+        alpha = rho0 / guard(d1)
+        r0, r1, d2 = fk(r0, u1, -alpha, rhat)
+        y = y + alpha * u0
+        # BiCG step j = 1
+        rho1 = d2
+        beta = alpha * rho1 / guard(rho0)
+        rho0 = rho1
+        u0 = r0 - beta * u0
+        u1, u2, d3 = fk(r1, u1, -beta, rhat)
+        alpha = rho0 / guard(d3)
+        r0 = r0 - alpha * u1
+        r1, r2, _ = fk(r1, u2, -alpha, None)
+        y = y + alpha * u0
+        # 2D minimal-residual polish: min ||r0 - w1 r1 - w2 r2||
+        t11 = jnp.vdot(r1, r1)
+        t12 = jnp.vdot(r1, r2)
+        t22 = jnp.vdot(r2, r2)
+        s1 = jnp.vdot(r0, r1)
+        s2 = jnp.vdot(r0, r2)
+        det = guard(t11 * t22 - t12 * t12)
+        w1 = (t22 * s1 - t12 * s2) / det
+        w2 = (t11 * s2 - t12 * s1) / det
+        y = y + w1 * r0 + w2 * r1
+        r0 = r0 - w1 * r1 - w2 * r2
+        u0 = u0 - w1 * u1 - w2 * u2
+        return (y, r0, u0, rhat, rho0, alpha, w2)
+
+    state = jax.lax.fori_loop(0, ncycles, cycle, state)
+    rnorm2 = jnp.vdot(state[1], state[1]).real
+    return state, rnorm2
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _sr_apply_M(mc_l, md_l, c_l, y_l, preconditioner: str, interpret: bool):
+    return _mk_M(mc_l, md_l, preconditioner, interpret)(y_l)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _sr_restart2(c_l, mc_l, md_l, y_l, b_l, topology: GridTopology,
+                 preconditioner: str, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas
+
+    M = _mk_M(mc_l, md_l, preconditioner, interpret)
+    r = b_l - apply_stencil_pallas(c_l, M(y_l), topology, interpret)
+    zero = jnp.zeros((), b_l.dtype)
+    return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
+            jnp.ones((), b_l.dtype), zero, jnp.ones((), b_l.dtype))
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _sr_restart1(c_l, x_l, b_l, topology: GridTopology, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas
+
+    r = b_l - apply_stencil_pallas(c_l, x_l, topology, interpret)
+    # x copied out of best_x's buffer: the returned state is donated
+    # into the next chunk while best_x must survive.
+    return (x_l + 0.0, r, r + 0.0, r + 0.0, jnp.vdot(r, r))
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _sr_final_res(c_l, x_l, b_l, topology: GridTopology, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas
+
+    r = apply_stencil_pallas(c_l, x_l, topology, interpret) - b_l
+    bn = jnp.sqrt(jnp.vdot(b_l, b_l).real)
+    return jnp.sqrt(jnp.vdot(r, r).real) / jnp.where(bn == 0, 1.0, bn)
+
+
 def solve_shifted_chunked(
     coeffs: StencilCoeffs,
     b,
@@ -1138,207 +1379,21 @@ def solve_shifted_chunked(
             and _pick_j_block_krylov(nz_, ny_, nx_, b.dtype.itemsize,
                                      96 * 1024 * 1024) is not None
         )
+    m_rows = None
+    if fused:
+        # Tridiag halo-row stacks for the fused kernel — constant across
+        # the solve, so extracted once here instead of per call.
+        from ..ops.krylov_pallas import krylov_coeff_rows
 
-    # Every device array is a jit ARGUMENT: closing over the multi-GB
-    # coefficient/preconditioner fields would bake them into the lowered
-    # program as constants and ship them through the (remote) compiler.
-    # The Krylov state (5 grid-sized vectors) is donated: the next chunk
-    # overwrites it in place instead of holding two copies live.
-    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(3,))
-    def run_chunk(c_l, mc_l, md_l, state, nsteps: int):
-        if preconditioner == "tridiag":
-            # Fused Pallas Thomas kernel: both sweeps in VMEM, 5 HBM
-            # streams instead of the jnp scans' ~9 — the preconditioner
-            # is applied twice per BiCGStab iteration, so this is the
-            # second-largest per-iteration cost after the matvec.
-            from ..ops.tridiag_pallas import tridiag_solve_pallas
+        guarded_diag = jnp.where(shifted_diag != 0, shifted_diag,
+                                 jnp.ones((), shifted_diag.dtype))
+        m_rows = jax.jit(krylov_coeff_rows, static_argnames=(
+            "topology",))(m_coeffs.bottom, guarded_diag, m_coeffs.top,
+                          topology=topology)
 
-            guarded = jnp.where(md_l != 0, md_l,
-                                jnp.ones((), md_l.dtype))
-
-            def M(v):
-                return tridiag_solve_pallas(
-                    mc_l.bottom, guarded, mc_l.top, v,
-                    interpret=interpret,
-                )
-        else:
-            M = _jacobi_preconditioner(md_l)
-
-        def a_op(x):
-            return apply_stencil_pallas(c_l, x, topology, interpret)
-
-        def body(_, st):
-            x, r, p, rhat0, rho = st
-            phat = M(p)
-            v = a_op(phat)
-            denom = jnp.vdot(rhat0, v)
-            alpha = rho / jnp.where(denom == 0, 1.0, denom)
-            s = r - alpha * v
-            shat = M(s)
-            t = a_op(shat)
-            tt = jnp.vdot(t, t)
-            omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1.0, tt)
-            x = x + alpha * phat + omega * shat
-            r = s - omega * t
-            rho_new = jnp.vdot(rhat0, r)
-            beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
-                alpha / jnp.where(omega == 0, 1.0, omega)
-            )
-            p = r + beta * (p - omega * v)
-            return (x, r, p, rhat0, rho_new)
-
-        state = jax.lax.fori_loop(0, nsteps, body, state)
-        rnorm2 = jnp.vdot(state[1], state[1]).real
-        return state, rnorm2
-
-    def _make_MK(mc_l, md_l, c_l):
-        if preconditioner == "tridiag":
-            from ..ops.tridiag_pallas import tridiag_solve_pallas
-
-            guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
-
-            def M(v):
-                return tridiag_solve_pallas(
-                    mc_l.bottom, guarded, mc_l.top, v, interpret=interpret
-                )
-        else:
-            M = _jacobi_preconditioner(md_l)
-
-        def a_op(x):
-            return apply_stencil_pallas(c_l, x, topology, interpret)
-
-        return M, a_op
-
-    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
-    def run_chunk2_fused(c_l, mc_l, md_l, state, ncycles: int):
-        """BiCGStab(2) cycles on the FUSED Krylov-step kernel
-        (ops/krylov_pallas.py): each half-iteration's vector
-        combination, Thomas preconditioner apply, stencil matvec, and
-        <rhat, .> dot run as ONE two-phase HBM sweep (~13 streams)
-        instead of four separate passes (~19 streams) — the round-4
-        verdict's "fuse the Krylov vector algebra" item. Algebra is
-        identical to `run_chunk2` below; only the dots' summation order
-        differs (per-block f32 partials)."""
-        from ..ops.krylov_pallas import fused_krylov_step
-
-        guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
-        m_lo, m_up = mc_l.bottom, mc_l.top
-        one = jnp.ones((), b.dtype)
-        guard = lambda d: jnp.where(d == 0, one, d)
-
-        def fk(x1, x2, cc, rhat=None):
-            z, out, d = fused_krylov_step(
-                c_l, m_lo, guarded, m_up, x1, x2, cc, rhat,
-                topology, interpret=interpret,
-                with_combine=x2 is not None, with_dot=rhat is not None,
-            )
-            return z, out, (None if d is None else d.astype(b.dtype))
-
-        def cycle(_, st):
-            y, r0, u0, rhat, rho0, alpha, omega = st
-            rho0 = -omega * rho0
-            # BiCG step j = 0
-            rho1 = jnp.vdot(rhat, r0)
-            beta = alpha * rho1 / guard(rho0)
-            rho0 = rho1
-            u0, u1, d1 = fk(r0, u0, -beta, rhat)
-            alpha = rho0 / guard(d1)
-            r0, r1, d2 = fk(r0, u1, -alpha, rhat)
-            y = y + alpha * u0
-            # BiCG step j = 1
-            rho1 = d2
-            beta = alpha * rho1 / guard(rho0)
-            rho0 = rho1
-            u0 = r0 - beta * u0
-            u1, u2, d3 = fk(r1, u1, -beta, rhat)
-            alpha = rho0 / guard(d3)
-            r0 = r0 - alpha * u1
-            r1, r2, _ = fk(r1, u2, -alpha, None)
-            y = y + alpha * u0
-            # 2D minimal-residual polish: min ||r0 - w1 r1 - w2 r2||
-            t11 = jnp.vdot(r1, r1)
-            t12 = jnp.vdot(r1, r2)
-            t22 = jnp.vdot(r2, r2)
-            s1 = jnp.vdot(r0, r1)
-            s2 = jnp.vdot(r0, r2)
-            det = guard(t11 * t22 - t12 * t12)
-            w1 = (t22 * s1 - t12 * s2) / det
-            w2 = (t11 * s2 - t12 * s1) / det
-            y = y + w1 * r0 + w2 * r1
-            r0 = r0 - w1 * r1 - w2 * r2
-            u0 = u0 - w1 * u1 - w2 * u2
-            return (y, r0, u0, rhat, rho0, alpha, w2)
-
-        state = jax.lax.fori_loop(0, ncycles, cycle, state)
-        rnorm2 = jnp.vdot(state[1], state[1]).real
-        return state, rnorm2
-
-    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
-    def run_chunk2(c_l, mc_l, md_l, state, ncycles: int):
-        M, a_op = _make_MK(mc_l, md_l, c_l)
-
-        def K(v):
-            return a_op(M(v))
-
-        one = jnp.ones((), b.dtype)
-        guard = lambda d: jnp.where(d == 0, one, d)
-
-        def cycle(_, st):
-            y, r0, u0, rhat, rho0, alpha, omega = st
-            rho0 = -omega * rho0
-            # BiCG step j = 0
-            rho1 = jnp.vdot(rhat, r0)
-            beta = alpha * rho1 / guard(rho0)
-            rho0 = rho1
-            u0 = r0 - beta * u0
-            u1 = K(u0)
-            alpha = rho0 / guard(jnp.vdot(rhat, u1))
-            r0 = r0 - alpha * u1
-            r1 = K(r0)
-            y = y + alpha * u0
-            # BiCG step j = 1
-            rho1 = jnp.vdot(rhat, r1)
-            beta = alpha * rho1 / guard(rho0)
-            rho0 = rho1
-            u0 = r0 - beta * u0
-            u1 = r1 - beta * u1
-            u2 = K(u1)
-            alpha = rho0 / guard(jnp.vdot(rhat, u2))
-            r0 = r0 - alpha * u1
-            r1 = r1 - alpha * u2
-            r2 = K(r1)
-            y = y + alpha * u0
-            # 2D minimal-residual polish: min ||r0 - w1 r1 - w2 r2||
-            t11 = jnp.vdot(r1, r1)
-            t12 = jnp.vdot(r1, r2)
-            t22 = jnp.vdot(r2, r2)
-            s1 = jnp.vdot(r0, r1)
-            s2 = jnp.vdot(r0, r2)
-            det = guard(t11 * t22 - t12 * t12)
-            w1 = (t22 * s1 - t12 * s2) / det
-            w2 = (t11 * s2 - t12 * s1) / det
-            y = y + w1 * r0 + w2 * r1
-            r0 = r0 - w1 * r1 - w2 * r2
-            u0 = u0 - w1 * u1 - w2 * u2
-            return (y, r0, u0, rhat, rho0, alpha, w2)
-
-        state = jax.lax.fori_loop(0, ncycles, cycle, state)
-        rnorm2 = jnp.vdot(state[1], state[1]).real
-        return state, rnorm2
-
-    @jax.jit
-    def apply_M_only(mc_l, md_l, c_l, y_l):
-        M, _ = _make_MK(mc_l, md_l, c_l)
-        return M(y_l)
-
-    @jax.jit
-    def restart_from2(c_l, mc_l, md_l, y_l, b_l):
-        M, a_op = _make_MK(mc_l, md_l, c_l)
-        r = b_l - a_op(M(y_l))
-        zero = jnp.zeros((), b_l.dtype)
-        return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
-                jnp.ones((), b_l.dtype), zero, jnp.ones((), b_l.dtype))
-
+    # Chunk programs are MODULE-LEVEL jits (see _sr_chunk1 etc.): the
+    # jit cache persists across solves, so repeated solves (e.g. the
+    # refinement loop's inner passes) pay zero recompilation.
     bnorm2 = float(jnp.vdot(b, b).real)
     atol2 = (tol ** 2) * bnorm2
     x0 = jnp.zeros_like(b)
@@ -1376,36 +1431,37 @@ def solve_shifted_chunked(
     rn2 = bnorm2
     stop = "maxiter"
 
-    @jax.jit
-    def restart_from(c_l, x_l, b_l):
-        r = b_l - apply_stencil_pallas(c_l, x_l, topology, interpret)
-        # x copied out of best_x's buffer: the returned state is donated
-        # into the next chunk while best_x must survive.
-        return (x_l + 0.0, r, r + 0.0, r + 0.0, jnp.vdot(r, r))
-
     def do_restart():
         nonlocal state, restarts, window_rn2, pass_rn2
         restarts += 1
         state = None  # free the grid vectors before rebuilding
         if algorithm == "bicgstab":
-            state = restart_from(a_coeffs, best_x, b)
+            state = _sr_restart1(a_coeffs, best_x, b, topology, interpret)
         else:
-            state = restart_from2(a_coeffs, m_coeffs, shifted_diag,
-                                  best_x, b)
+            state = _sr_restart2(a_coeffs, m_coeffs, shifted_diag,
+                                 best_x, b, topology, preconditioner,
+                                 interpret)
         window_rn2 = float("inf")
         pass_rn2 = best_rn2
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         if algorithm == "bicgstab":
-            state, rnorm2 = run_chunk(a_coeffs, m_coeffs, shifted_diag,
-                                      state, nsteps)
+            state, rnorm2 = _sr_chunk1(a_coeffs, m_coeffs, shifted_diag,
+                                       state, nsteps, topology,
+                                       preconditioner, interpret)
             iters += nsteps
         else:
             ncycles = max(1, nsteps // 2)
-            chunk2 = run_chunk2_fused if fused else run_chunk2
-            state, rnorm2 = chunk2(a_coeffs, m_coeffs, shifted_diag,
-                                   state, ncycles)
+            if fused:
+                state, rnorm2 = _sr_chunk2_fused(
+                    a_coeffs, m_coeffs, shifted_diag, m_rows, state,
+                    ncycles, topology, interpret)
+            else:
+                state, rnorm2 = _sr_chunk2(a_coeffs, m_coeffs,
+                                           shifted_diag, state, ncycles,
+                                           topology, preconditioner,
+                                           interpret)
             iters += 2 * ncycles
         rn2 = float(rnorm2)
         if rn2 < best_rn2:  # NaN-safe: NaN compares False
@@ -1494,16 +1550,192 @@ def solve_shifted_chunked(
         )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
-        x = apply_M_only(m_coeffs, shifted_diag, a_coeffs, x)
+        x = _sr_apply_M(m_coeffs, shifted_diag, a_coeffs, x,
+                        preconditioner, interpret)
 
-    @jax.jit
-    def final_res(c_l, x_l, b_l):
-        r = apply_stencil_pallas(c_l, x_l, topology, interpret) - b_l
-        bn = jnp.sqrt(jnp.vdot(b_l, b_l).real)
-        return jnp.sqrt(jnp.vdot(r, r).real) / jnp.where(bn == 0, 1.0, bn)
-
-    res = final_res(a_coeffs, x, b)
+    res = _sr_final_res(a_coeffs, x, b, topology, interpret)
     return x, res
+
+
+# Module-level chunk programs for the BATCHED chunked engine (same
+# jit-cache-persistence rationale as _sr_chunk1 above).
+
+_mdot = lambda u, v: jnp.sum(u * v, axis=(1, 2, 3))  # (B,); real fields
+_mbx = lambda s: s[:, None, None, None]
+
+
+def _mk_M_multi(mc_l, md_l, preconditioner: str, interpret: bool):
+    if preconditioner == "tridiag":
+        # Fused Pallas Thomas kernel, vmapped over the batch (the batch
+        # axis becomes an outer grid dimension; coefficient blocks are
+        # re-fetched per member, but the preconditioner is 5 streams vs
+        # the jnp scans' ~9 either way).
+        from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+        guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
+
+        def M(vs):
+            return jax.vmap(
+                lambda v: tridiag_solve_pallas(
+                    mc_l.bottom, guarded, mc_l.top, v, interpret=interpret
+                )
+            )(vs)
+
+        return M
+    return _jacobi_preconditioner(md_l)  # elementwise; broadcasts over B
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(3,))
+def _mr_chunk1(c_l, mc_l, md_l, state, nsteps: int, topology: GridTopology,
+               preconditioner: str, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas_multi
+
+    M = _mk_M_multi(mc_l, md_l, preconditioner, interpret)
+
+    def a_op(xs):
+        return apply_stencil_pallas_multi(c_l, xs, topology, interpret)
+
+    dot, bx = _mdot, _mbx
+
+    def body(_, st):
+        xs, r, p, rhat0, rho = st
+        phat = M(p)
+        v = a_op(phat)
+        denom = dot(rhat0, v)
+        alpha = rho / jnp.where(denom == 0, 1.0, denom)
+        s = r - bx(alpha) * v
+        shat = M(s)
+        t = a_op(shat)
+        tt = dot(t, t)
+        omega = dot(t, s) / jnp.where(tt == 0, 1.0, tt)
+        xs = xs + bx(alpha) * phat + bx(omega) * shat
+        r = s - bx(omega) * t
+        rho_new = dot(rhat0, r)
+        beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
+            alpha / jnp.where(omega == 0, 1.0, omega)
+        )
+        p = r + bx(beta) * (p - bx(omega) * v)
+        return (xs, r, p, rhat0, rho_new)
+
+    state = jax.lax.fori_loop(0, nsteps, body, state)
+    rnorm2 = _mdot(state[1], state[1])
+    return state, rnorm2
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(3,))
+def _mr_chunk2(c_l, mc_l, md_l, state, ncycles: int, topology: GridTopology,
+               preconditioner: str, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas_multi
+
+    M = _mk_M_multi(mc_l, md_l, preconditioner, interpret)
+
+    def K(vs):
+        return apply_stencil_pallas_multi(c_l, M(vs), topology, interpret)
+
+    dot, bx = _mdot, _mbx
+    one = jnp.ones((), state[0].dtype)
+    guard = lambda d: jnp.where(d == 0, one, d)
+
+    def cycle(_, st):
+        y, r0, u0, rhat, rho0, alpha, omega = st
+        rho0 = -omega * rho0
+        # BiCG step j = 0 (per-member scalars, shape (B,))
+        rho1 = dot(rhat, r0)
+        beta = alpha * rho1 / guard(rho0)
+        rho0 = rho1
+        u0 = r0 - bx(beta) * u0
+        u1 = K(u0)
+        alpha = rho0 / guard(dot(rhat, u1))
+        r0 = r0 - bx(alpha) * u1
+        r1 = K(r0)
+        y = y + bx(alpha) * u0
+        # BiCG step j = 1
+        rho1 = dot(rhat, r1)
+        beta = alpha * rho1 / guard(rho0)
+        rho0 = rho1
+        u0 = r0 - bx(beta) * u0
+        u1 = r1 - bx(beta) * u1
+        u2 = K(u1)
+        alpha = rho0 / guard(dot(rhat, u2))
+        r0 = r0 - bx(alpha) * u1
+        r1 = r1 - bx(alpha) * u2
+        r2 = K(r1)
+        y = y + bx(alpha) * u0
+        # per-member 2D minimal-residual polish
+        t11 = dot(r1, r1)
+        t12 = dot(r1, r2)
+        t22 = dot(r2, r2)
+        s1 = dot(r0, r1)
+        s2 = dot(r0, r2)
+        det = guard(t11 * t22 - t12 * t12)
+        w1 = (t22 * s1 - t12 * s2) / det
+        w2 = (t11 * s2 - t12 * s1) / det
+        y = y + bx(w1) * r0 + bx(w2) * r1
+        r0 = r0 - bx(w1) * r1 - bx(w2) * r2
+        u0 = u0 - bx(w1) * u1 - bx(w2) * u2
+        return (y, r0, u0, rhat, rho0, alpha, w2)
+
+    state = jax.lax.fori_loop(0, ncycles, cycle, state)
+    rnorm2 = _mdot(state[1], state[1])
+    return state, rnorm2
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _mr_apply_M(mc_l, md_l, c_l, y_l, preconditioner: str, interpret: bool):
+    return _mk_M_multi(mc_l, md_l, preconditioner, interpret)(y_l)
+
+
+@partial(jax.jit)
+def _mr_keep_best(best_xs, best_rn2_d, xs_now, rn2_now):
+    better = rn2_now < best_rn2_d
+    sel = better[:, None, None, None]
+    return (jnp.where(sel, xs_now, best_xs),
+            jnp.where(better, rn2_now, best_rn2_d))
+
+
+def _mr_blend(old, new, mask_d):
+    """new where mask (per member), old elsewhere, across a state tuple
+    of (B, ...) vectors and (B,) scalars."""
+    pick = lambda o, n: jnp.where(
+        mask_d[(slice(None),) + (None,) * (o.ndim - 1)], n, o)
+    return tuple(pick(o, n) for o, n in zip(old, new))
+
+
+@partial(jax.jit, static_argnums=(5, 6), donate_argnums=(1,))
+def _mr_restart_members(c_l, state_old, xs_best, bs_l, mask_d,
+                        topology: GridTopology, interpret: bool):
+    """Fresh Krylov space from the best iterate for the members in
+    `mask_d` only; other members' state passes through untouched."""
+    from ..ops.stencil_pallas import apply_stencil_pallas_multi
+
+    r = bs_l - apply_stencil_pallas_multi(c_l, xs_best, topology, interpret)
+    new = (xs_best + 0.0, r, r + 0.0, r + 0.0, _mdot(r, r))
+    return _mr_blend(state_old, new, mask_d)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9), donate_argnums=(3,))
+def _mr_restart_members2(c_l, mc_l, md_l, state_old, xs_best, bs_l, mask_d,
+                         topology: GridTopology, preconditioner: str,
+                         interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas_multi
+
+    M = _mk_M_multi(mc_l, md_l, preconditioner, interpret)
+    r = bs_l - apply_stencil_pallas_multi(c_l, M(xs_best), topology,
+                                          interpret)
+    B = bs_l.shape[0]
+    ones_b = jnp.ones((B,), bs_l.dtype)
+    new = (xs_best + 0.0, r, jnp.zeros_like(r), r + 0.0,
+           ones_b, jnp.zeros((B,), bs_l.dtype), ones_b)
+    return _mr_blend(state_old, new, mask_d)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _mr_final_res(c_l, xs_l, bs_l, topology: GridTopology, interpret: bool):
+    from ..ops.stencil_pallas import apply_stencil_pallas_multi
+
+    r = apply_stencil_pallas_multi(c_l, xs_l, topology, interpret) - bs_l
+    bn = jnp.sqrt(_mdot(bs_l, bs_l))
+    return jnp.sqrt(_mdot(r, r)) / jnp.where(bn == 0, 1.0, bn)
 
 
 def solve_shifted_chunked_multi(
@@ -1598,145 +1830,8 @@ def solve_shifted_chunked_multi(
     # solve_shifted_chunked).
     a_coeffs = apply_coeffs._replace(diag=shifted_diag)
 
-    # Device arrays as jit ARGUMENTS, donated Krylov state — same memory
-    # discipline as solve_shifted_chunked (multi-GB fields at 0.25 deg).
-    @_partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(3,))
-    def run_chunk(c_l, mc_l, md_l, state, nsteps: int):
-        if preconditioner == "tridiag":
-            # Fused Pallas Thomas kernel, vmapped over the batch (the
-            # batch axis becomes an outer grid dimension; coefficient
-            # blocks are re-fetched per member, but the preconditioner
-            # is 5 streams vs the jnp scans' ~9 either way).
-            from ..ops.tridiag_pallas import tridiag_solve_pallas
-
-            guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
-
-            def M(vs):
-                return jax.vmap(
-                    lambda v: tridiag_solve_pallas(
-                        mc_l.bottom, guarded, mc_l.top, v,
-                        interpret=interpret,
-                    )
-                )(vs)
-        else:
-            M1 = _jacobi_preconditioner(md_l)
-            M = M1  # elementwise; broadcasts over the batch
-
-        def a_op(xs):
-            return apply_stencil_pallas_multi(c_l, xs, topology, interpret)
-
-        def body(_, st):
-            xs, r, p, rhat0, rho = st
-            phat = M(p)
-            v = a_op(phat)
-            denom = dot(rhat0, v)
-            alpha = rho / jnp.where(denom == 0, 1.0, denom)
-            s = r - bx(alpha) * v
-            shat = M(s)
-            t = a_op(shat)
-            tt = dot(t, t)
-            omega = dot(t, s) / jnp.where(tt == 0, 1.0, tt)
-            xs = xs + bx(alpha) * phat + bx(omega) * shat
-            r = s - bx(omega) * t
-            rho_new = dot(rhat0, r)
-            beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
-                alpha / jnp.where(omega == 0, 1.0, omega)
-            )
-            p = r + bx(beta) * (p - bx(omega) * v)
-            return (xs, r, p, rhat0, rho_new)
-
-        state = jax.lax.fori_loop(0, nsteps, body, state)
-        rnorm2 = dot(state[1], state[1])
-        return state, rnorm2
-
-    def _make_MK_multi(mc_l, md_l, c_l):
-        if preconditioner == "tridiag":
-            from ..ops.tridiag_pallas import tridiag_solve_pallas
-
-            guarded = jnp.where(md_l != 0, md_l, jnp.ones((), md_l.dtype))
-
-            def M(vs):
-                return jax.vmap(
-                    lambda v: tridiag_solve_pallas(
-                        mc_l.bottom, guarded, mc_l.top, v,
-                        interpret=interpret,
-                    )
-                )(vs)
-        else:
-            M = _jacobi_preconditioner(md_l)
-
-        def a_op(xs):
-            return apply_stencil_pallas_multi(c_l, xs, topology, interpret)
-
-        return M, a_op
-
-    @_partial(jax.jit, static_argnames=("ncycles",), donate_argnums=(3,))
-    def run_chunk2(c_l, mc_l, md_l, state, ncycles: int):
-        M, a_op = _make_MK_multi(mc_l, md_l, c_l)
-
-        def K(vs):
-            return a_op(M(vs))
-
-        one = jnp.ones((), bs.dtype)
-        guard = lambda d: jnp.where(d == 0, one, d)
-
-        def cycle(_, st):
-            y, r0, u0, rhat, rho0, alpha, omega = st
-            rho0 = -omega * rho0
-            # BiCG step j = 0 (per-member scalars, shape (B,))
-            rho1 = dot(rhat, r0)
-            beta = alpha * rho1 / guard(rho0)
-            rho0 = rho1
-            u0 = r0 - bx(beta) * u0
-            u1 = K(u0)
-            alpha = rho0 / guard(dot(rhat, u1))
-            r0 = r0 - bx(alpha) * u1
-            r1 = K(r0)
-            y = y + bx(alpha) * u0
-            # BiCG step j = 1
-            rho1 = dot(rhat, r1)
-            beta = alpha * rho1 / guard(rho0)
-            rho0 = rho1
-            u0 = r0 - bx(beta) * u0
-            u1 = r1 - bx(beta) * u1
-            u2 = K(u1)
-            alpha = rho0 / guard(dot(rhat, u2))
-            r0 = r0 - bx(alpha) * u1
-            r1 = r1 - bx(alpha) * u2
-            r2 = K(r1)
-            y = y + bx(alpha) * u0
-            # per-member 2D minimal-residual polish
-            t11 = dot(r1, r1)
-            t12 = dot(r1, r2)
-            t22 = dot(r2, r2)
-            s1 = dot(r0, r1)
-            s2 = dot(r0, r2)
-            det = guard(t11 * t22 - t12 * t12)
-            w1 = (t22 * s1 - t12 * s2) / det
-            w2 = (t11 * s2 - t12 * s1) / det
-            y = y + bx(w1) * r0 + bx(w2) * r1
-            r0 = r0 - bx(w1) * r1 - bx(w2) * r2
-            u0 = u0 - bx(w1) * u1 - bx(w2) * u2
-            return (y, r0, u0, rhat, rho0, alpha, w2)
-
-        state = jax.lax.fori_loop(0, ncycles, cycle, state)
-        rnorm2 = dot(state[1], state[1])
-        return state, rnorm2
-
-    @jax.jit
-    def apply_M_only(mc_l, md_l, c_l, y_l):
-        M, _ = _make_MK_multi(mc_l, md_l, c_l)
-        return M(y_l)
-
-    @jax.jit
-    def restart_from2(c_l, mc_l, md_l, y_l, bs_l):
-        M, a_op = _make_MK_multi(mc_l, md_l, c_l)
-        r = bs_l - a_op(M(y_l))
-        B = bs_l.shape[0]
-        ones_b = jnp.ones((B,), bs_l.dtype)
-        return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
-                ones_b, jnp.zeros((B,), bs_l.dtype), ones_b)
-
+    # Chunk programs are MODULE-LEVEL jits (_mr_chunk1 etc.): the jit
+    # cache persists across solves — zero per-solve recompilation.
     bnorm2 = dot(bs, bs)
     atol2 = np.asarray((tol ** 2) * bnorm2)
     x0 = jnp.zeros_like(bs)
@@ -1765,72 +1860,42 @@ def solve_shifted_chunked_multi(
     pass_rn2 = bn2_np.copy()
     stop = "maxiter"
 
-    # Per-member best-iterate tracking (see solve_shifted_chunked):
-    # members whose recurrence diverges transiently keep their best
-    # chunk-boundary iterate while the others keep improving.
-    @jax.jit
-    def keep_best(best_xs, best_rn2_d, xs_now, rn2_now):
-        better = rn2_now < best_rn2_d
-        sel = better[:, None, None, None]
-        return (jnp.where(sel, xs_now, best_xs),
-                jnp.where(better, rn2_now, best_rn2_d))
-
     # Separate allocation: x0 itself sits in the donated state tuple and
-    # its buffer dies inside the first run_chunk call.
+    # its buffer dies inside the first chunk call.
     best_xs = jnp.zeros_like(bs)
     best_rn2 = dot(bs, bs)  # residual at x0 = 0 is b
     restarts = 0
-
-    def _blend(old, new, mask_d):
-        """new where mask (per member), old elsewhere, across a state
-        tuple of (B, ...) vectors and (B,) scalars."""
-        pick = lambda o, n: jnp.where(
-            mask_d[(slice(None),) + (None,) * (o.ndim - 1)], n, o)
-        return tuple(pick(o, n) for o, n in zip(old, new))
-
-    @_partial(jax.jit, donate_argnums=(1,))
-    def restart_members(c_l, state_old, xs_best, bs_l, mask_d):
-        """Fresh Krylov space from the best iterate for the members in
-        `mask_d` only; other members' state passes through untouched."""
-        r = bs_l - apply_stencil_pallas_multi(c_l, xs_best, topology,
-                                              interpret)
-        new = (xs_best + 0.0, r, r + 0.0, r + 0.0, dot(r, r))
-        return _blend(state_old, new, mask_d)
-
-    @_partial(jax.jit, donate_argnums=(3,))
-    def restart_members2(c_l, mc_l, md_l, state_old, xs_best, bs_l,
-                         mask_d):
-        M, a_op = _make_MK_multi(mc_l, md_l, c_l)
-        r = bs_l - a_op(M(xs_best))
-        ones_b = jnp.ones((B,), bs_l.dtype)
-        new = (xs_best + 0.0, r, jnp.zeros_like(r), r + 0.0,
-               ones_b, jnp.zeros((B,), bs_l.dtype), ones_b)
-        return _blend(state_old, new, mask_d)
 
     def do_restart(mask):
         nonlocal state, restarts, window_rn2, pass_rn2
         restarts += 1
         mask_d = jnp.asarray(mask)
         if algorithm == "bicgstab":
-            state = restart_members(a_coeffs, state, best_xs, bs, mask_d)
+            state = _mr_restart_members(a_coeffs, state, best_xs, bs,
+                                        mask_d, topology, interpret)
         else:
-            state = restart_members2(a_coeffs, m_coeffs, shifted_diag,
-                                     state, best_xs, bs, mask_d)
+            state = _mr_restart_members2(a_coeffs, m_coeffs, shifted_diag,
+                                         state, best_xs, bs, mask_d,
+                                         topology, preconditioner,
+                                         interpret)
         window_rn2 = np.where(mask, np.inf, window_rn2)
         pass_rn2 = np.where(mask, np.asarray(best_rn2), pass_rn2)
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         if algorithm == "bicgstab":
-            state, rnorm2 = run_chunk(a_coeffs, m_coeffs, shifted_diag,
-                                      state, nsteps)
+            state, rnorm2 = _mr_chunk1(a_coeffs, m_coeffs, shifted_diag,
+                                       state, nsteps, topology,
+                                       preconditioner, interpret)
             iters += nsteps
         else:
             ncycles = max(1, nsteps // 2)
-            state, rnorm2 = run_chunk2(a_coeffs, m_coeffs, shifted_diag,
-                                       state, ncycles)
+            state, rnorm2 = _mr_chunk2(a_coeffs, m_coeffs, shifted_diag,
+                                       state, ncycles, topology,
+                                       preconditioner, interpret)
             iters += 2 * ncycles
-        best_xs, best_rn2 = keep_best(best_xs, best_rn2, state[0], rnorm2)
+        best_xs, best_rn2 = _mr_keep_best(best_xs, best_rn2, state[0],
+                                          rnorm2)
         rn2 = np.asarray(rnorm2)
         if verbose:
             import sys as _sys
@@ -1896,13 +1961,8 @@ def solve_shifted_chunked_multi(
         )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
-        xs = apply_M_only(m_coeffs, shifted_diag, a_coeffs, xs)
+        xs = _mr_apply_M(m_coeffs, shifted_diag, a_coeffs, xs,
+                         preconditioner, interpret)
 
-    @jax.jit
-    def final_res(c_l, xs_l, bs_l):
-        r = apply_stencil_pallas_multi(c_l, xs_l, topology, interpret) - bs_l
-        bn = jnp.sqrt(dot(bs_l, bs_l))
-        return jnp.sqrt(dot(r, r)) / jnp.where(bn == 0, 1.0, bn)
-
-    res = final_res(a_coeffs, xs, bs)
+    res = _mr_final_res(a_coeffs, xs, bs, topology, interpret)
     return xs, res

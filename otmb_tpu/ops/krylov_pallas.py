@@ -108,14 +108,25 @@ def _krylov_kernel(
             z_ref[0] = z
         else:
             z = x1_ref[0]
-        km1 = jnp.maximum(k - one_i, 0)
-        cp_prev = jnp.where(k > 0, cp_scr[km1], 0.0)
-        dp_prev = jnp.where(k > 0, dp_scr[km1], 0.0)
+        # Previous cp/dp come from dedicated carry slots (mva/mvb are
+        # repurposed as cp_prev/dp_prev carriers during the forward
+        # phase — they are only needed in the backward phase), avoiding
+        # a dynamically-indexed re-read of the big scratch every step.
+        cp_prev = jnp.where(k > 0, mva_scr[...], 0.0)
+        dp_prev = jnp.where(k > 0, mvb_scr[...], 0.0)
         one = jnp.ones((), z.dtype)
         denom = mdi_ref[0] - mup_ref[0] * cp_prev
         denom = jnp.where(denom != 0, denom, one)
-        cp_scr[k] = mlo_ref[0] / denom
-        dp_scr[k] = (z - mup_ref[0] * dp_prev) * (one / denom)
+        # ONE divide per element (reciprocal-multiply for both cp and
+        # dp): f32 divides are multi-cycle on the VPU and the Thomas
+        # recurrence is the fused kernel's compute hot spot.
+        rec = one / denom
+        cp = mlo_ref[0] * rec
+        dp = (z - mup_ref[0] * dp_prev) * rec
+        cp_scr[k] = cp
+        dp_scr[k] = dp
+        mva_scr[...] = cp
+        mvb_scr[...] = dp
 
     @pl.when(s >= nz_i)
     def _backward():
@@ -127,7 +138,10 @@ def _krylov_kernel(
         # matching the stencil kernels' index-map clamp (the bottom
         # coefficient is zero there in real operators, but composition
         # equality must hold for arbitrary coefficients).
-        mv_k = jnp.where(first, dp_scr[nz - 1], mva_scr[...])
+        # At the first backward step mva/mvb still hold the forward
+        # phase's cp/dp carries at nz-1, so mv at nz-1 (= dp[nz-1]) is
+        # exactly mvb's content — no big-scratch read needed.
+        mv_k = jnp.where(first, mvb_scr[...], mva_scr[...])
         mv_kp1 = jnp.where(first, mv_k, mvb_scr[...])
         km1 = jnp.maximum(k - one_i, 0)
         mv_km1 = jnp.where(
@@ -161,7 +175,7 @@ def _krylov_kernel(
 
             @pl.when(s == np.int32(2 * nz - 1))
             def _():
-                dot_ref[0, 0] = acc_scr[0]
+                dot_ref[jb, 0] = acc_scr[0]
 
         mvb_scr[...] = mv_k
         mva_scr[...] = mv_km1
@@ -186,10 +200,10 @@ def _pick_j_block_krylov(nz: int, ny: int, nx: int, itemsize: int,
 
 def _thomas_rows(lo, di, up, b):
     """Vectorized Thomas solve over (nz, R, nx) row stacks — the same
-    op order as ops/tridiag_pallas.py (cp by division, dp by reciprocal
-    multiply, denom != 0 guard), so results match the in-kernel sweep
-    bitwise. Used for the handful of j-halo/seam rows the fused kernel
-    cannot compute block-locally."""
+    op order as the fused kernel's forward sweep (ONE reciprocal, cp and
+    dp by multiply, denom != 0 guard), so results match the in-kernel
+    sweep bitwise. Used for the handful of j-halo/seam rows the fused
+    kernel cannot compute block-locally."""
     nz = b.shape[0]
     one = jnp.ones((), b.dtype)
 
@@ -197,8 +211,9 @@ def _thomas_rows(lo, di, up, b):
         cp_prev, dp_prev = carry
         denom = di[k] - up[k] * cp_prev
         denom = jnp.where(denom != 0, denom, one)
-        cp = lo[k] / denom
-        dp = (b[k] - up[k] * dp_prev) * (one / denom)
+        rec = one / denom
+        cp = lo[k] * rec
+        dp = (b[k] - up[k] * dp_prev) * rec
         return (cp, dp), (cp, dp)
 
     zeros = jnp.zeros_like(b[0])
@@ -210,6 +225,48 @@ def _thomas_rows(lo, di, up, b):
 
     _, xs = jax.lax.scan(bwd, zeros, jnp.arange(nz), reverse=True)
     return xs
+
+
+def _halo_row_slices(a, by: int, nb: int, ny: int):
+    """The 2*nb+1 j-halo/seam source rows as STRIDED SLICES, concatenated
+    along axis 1 in the order [north rows (nb), south rows (nb), top row].
+
+    Equivalent to `a[:, rows, :]` with rows = [min((jb+1)*by, ny-1)...,
+    max(jb*by-1, 0)..., ny-1] — but a fancy-index gather makes XLA assign
+    the operand a {2,0,1} layout and TRANSPOSE-COPY the whole array
+    before the kernel (measured 1.57 ms per array at the 0.25-degree
+    size, five arrays per call = 7.8 ms, dwarfing the fusion win).
+    Strided lax.slice keeps the default layout."""
+    import jax.lax as lax
+
+    top = lax.slice_in_dim(a, ny - 1, ny, axis=1)
+    if nb == 1:
+        north = top
+        south = lax.slice_in_dim(a, 0, 1, axis=1)
+    else:
+        north = jnp.concatenate([
+            lax.slice_in_dim(a, by, (nb - 1) * by + 1, stride=by, axis=1),
+            top,
+        ], axis=1)
+        south = jnp.concatenate([
+            lax.slice_in_dim(a, 0, 1, axis=1),
+            lax.slice_in_dim(a, by - 1, (nb - 1) * by, stride=by, axis=1),
+        ], axis=1)
+    return jnp.concatenate([north, south, top], axis=1)
+
+
+def krylov_coeff_rows(m_lower, m_diag, m_upper, topology: GridTopology,
+                      by_static: int | None = None):
+    """Precompute the tridiag coefficient halo-row stacks for
+    `fused_krylov_step` (they are constant across a solve; passing them
+    via `m_rows` saves three per-call row extractions)."""
+    nz, ny, nx = topology.shape3d
+    by = by_static or _pick_j_block_krylov(
+        nz, ny, nx, jnp.asarray(m_diag).dtype.itemsize,
+        budget_bytes=96 * 1024 * 1024)
+    nb = ny // by
+    return tuple(_halo_row_slices(jnp.asarray(a), by, nb, ny)
+                 for a in (m_lower, m_diag, m_upper))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -228,6 +285,7 @@ def fused_krylov_step(
     with_combine: bool = True,
     with_dot: bool = True,
     by_static: int | None = None,
+    m_rows=None,
 ):
     """One fused Krylov half-iteration:
 
@@ -256,13 +314,12 @@ def fused_krylov_step(
     if not with_combine:
         x2 = x1  # dead stream, still needs a concrete operand
 
-    # ---- halo/seam rows of M(z): solved outside on gathered columns ----
-    idx_n = jnp.minimum((jnp.arange(nb) + 1) * by, ny - 1)
-    idx_s = jnp.maximum(jnp.arange(nb) * by - 1, 0)
-    rows = jnp.concatenate([idx_n, idx_s, jnp.asarray([ny - 1])])
-    g = lambda a: a[:, rows, :]
+    # ---- halo/seam rows of M(z): solved outside on sliced columns ----
+    g = lambda a: _halo_row_slices(a, by, nb, ny)
     z_rows = (g(x1) + c2[0, 0] * g(x2)) if with_combine else g(x1)
-    mv_rows = _thomas_rows(g(m_lower), g(m_diag), g(m_upper), z_rows)
+    if m_rows is None:
+        m_rows = (g(m_lower), g(m_diag), g(m_upper))
+    mv_rows = _thomas_rows(m_rows[0], m_rows[1], m_rows[2], z_rows)
     mv_north = mv_rows[:, :nb, :].reshape(nz * nb, 1, nx)
     mv_south = mv_rows[:, nb : 2 * nb, :].reshape(nz * nb, 1, nx)
     top_row = mv_rows[:, 2 * nb, :]
@@ -309,8 +366,11 @@ def fused_krylov_step(
     out_specs.append(spec(bwd_k, (1, by, nx)))
     out_shape.append(jax.ShapeDtypeStruct((nz, ny, nx), dtype))
     if with_dot:
+        # One (nb, 1) SMEM buffer revisited by every grid step (constant
+        # index map; Mosaic requires SMEM blocks to equal the array
+        # dims); each j-block writes its own row at its last step.
         out_specs.append(pl.BlockSpec(
-            (1, 1), index_map_i32(lambda jb, s: (jb, 0)),
+            (nb, 1), index_map_i32(lambda jb, s: (0, 0)),
             memory_space=pltpu.SMEM))
         out_shape.append(jax.ShapeDtypeStruct((nb, 1), jnp.float32))
 

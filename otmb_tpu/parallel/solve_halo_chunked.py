@@ -54,6 +54,183 @@ def _pdot(a, b):
     return jax.lax.psum(jnp.vdot(a, b), ("y", "x"))
 
 
+def _hc_make_ops(c_l, topology, mesh, preconditioner, interpret, overlap):
+    from ..models.solvers import _jacobi_preconditioner
+
+    def a_op(x):
+        halos = _halo_exchange(x, topology, mesh)
+        if overlap:
+            zeros = tuple(jnp.zeros_like(h) for h in halos)
+            bulk = _local_pallas_apply(c_l, x, zeros, None, interpret)
+            return _boundary_patch(
+                c_l, bulk, halos, jnp.asarray(1.0, bulk.dtype)
+            )
+        return _local_pallas_apply(c_l, x, halos, None, interpret)
+
+    if preconditioner == "tridiag":
+        from ..ops.tridiag_pallas import tridiag_solve_pallas
+
+        gd = jnp.where(c_l.diag != 0, c_l.diag,
+                       jnp.ones((), c_l.diag.dtype))
+
+        def M(v):
+            return tridiag_solve_pallas(
+                c_l.bottom, gd, c_l.top, v, interpret=interpret
+            )
+    elif preconditioner == "jacobi":
+        M = _jacobi_preconditioner(c_l.diag)
+    else:
+        raise ValueError(f"unknown preconditioner {preconditioner!r}")
+    return M, a_op
+
+
+def _hc_state_spec(algorithm: str):
+    spec3 = P(None, "y", "x")
+    spec0 = P()
+    if algorithm == "bicgstab":
+        return (spec3,) * 4 + (spec0,)
+    return (spec3,) * 4 + (spec0,) * 3
+
+
+# Module-level per-chunk programs: the jit cache persists across solves
+# (nested closures would recompile the whole shard_map program per
+# solve — seconds at scale; see models/solvers._sr_chunk1).
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8), donate_argnums=(1,))
+def _hc_run_chunk(c_g, state_g, nsteps: int, topology: GridTopology,
+                  mesh: Mesh, preconditioner: str, interpret: bool,
+                  overlap: bool, algorithm: str):
+    spec3 = P(None, "y", "x")
+    spec0 = P()
+    cspec = jax.tree_util.tree_map(lambda _: spec3, c_g)
+    state_spec = _hc_state_spec(algorithm)
+    dtype = state_g[0].dtype
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(cspec, state_spec),
+             out_specs=(state_spec, spec0), check_vma=False)
+    def _run(c_l, st):
+        M, a_op = _hc_make_ops(c_l, topology, mesh, preconditioner,
+                               interpret, overlap)
+        one = jnp.ones((), dtype)
+        guard = lambda d: jnp.where(d == 0, one, d)
+
+        if algorithm == "bicgstab":
+            def body(_, s):
+                x, r, p, rhat0, rho = s
+                phat = M(p)
+                v = a_op(phat)
+                alpha = rho / guard(_pdot(rhat0, v))
+                sv = r - alpha * v
+                shat = M(sv)
+                t = a_op(shat)
+                tt = _pdot(t, t)
+                omega = _pdot(t, sv) / guard(tt)
+                x = x + alpha * phat + omega * shat
+                r = sv - omega * t
+                rho_new = _pdot(rhat0, r)
+                beta = (rho_new / guard(rho)) * (alpha / guard(omega))
+                p = r + beta * (p - omega * v)
+                return (x, r, p, rhat0, rho_new)
+
+            st = jax.lax.fori_loop(0, nsteps, body, st)
+        else:
+            def K(v):
+                return a_op(M(v))
+
+            def cycle(_, s):
+                y, r0, u0, rhat, rho0, alpha, omega = s
+                rho0 = -omega * rho0
+                rho1 = _pdot(rhat, r0)
+                beta = alpha * rho1 / guard(rho0)
+                rho0 = rho1
+                u0 = r0 - beta * u0
+                u1 = K(u0)
+                alpha = rho0 / guard(_pdot(rhat, u1))
+                r0 = r0 - alpha * u1
+                r1 = K(r0)
+                y = y + alpha * u0
+                rho1 = _pdot(rhat, r1)
+                beta = alpha * rho1 / guard(rho0)
+                rho0 = rho1
+                u0 = r0 - beta * u0
+                u1 = r1 - beta * u1
+                u2 = K(u1)
+                alpha = rho0 / guard(_pdot(rhat, u2))
+                r0 = r0 - alpha * u1
+                r1 = r1 - alpha * u2
+                r2 = K(r1)
+                y = y + alpha * u0
+                t11 = _pdot(r1, r1)
+                t12 = _pdot(r1, r2)
+                t22 = _pdot(r2, r2)
+                s1 = _pdot(r0, r1)
+                s2 = _pdot(r0, r2)
+                det = guard(t11 * t22 - t12 * t12)
+                w1 = (t22 * s1 - t12 * s2) / det
+                w2 = (t11 * s2 - t12 * s1) / det
+                y = y + w1 * r0 + w2 * r1
+                r0 = r0 - w1 * r1 - w2 * r2
+                u0 = u0 - w1 * u1 - w2 * u2
+                return (y, r0, u0, rhat, rho0, alpha, w2)
+
+            st = jax.lax.fori_loop(0, nsteps, cycle, st)
+        rnorm2 = _pdot(st[1], st[1]).real
+        return st, rnorm2
+
+    return _run(c_g, state_g)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _hc_restart(c_g, x_g, b_g, topology: GridTopology, mesh: Mesh,
+                preconditioner: str, interpret: bool, overlap: bool,
+                algorithm: str):
+    spec3 = P(None, "y", "x")
+    cspec = jax.tree_util.tree_map(lambda _: spec3, c_g)
+    state_spec = _hc_state_spec(algorithm)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(cspec, spec3, spec3),
+             out_specs=(state_spec,), check_vma=False)
+    def _restart(c_l, x_l, b_l):
+        M, a_op = _hc_make_ops(c_l, topology, mesh, preconditioner,
+                               interpret, overlap)
+        if algorithm == "bicgstab":
+            r = b_l - a_op(x_l)
+            return ((x_l + 0.0, r, r + 0.0, r + 0.0, _pdot(r, r)),)
+        r = b_l - a_op(M(x_l))
+        zero = jnp.zeros((), b_l.dtype)
+        return ((x_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
+                 jnp.ones((), b_l.dtype), zero,
+                 jnp.ones((), b_l.dtype)),)
+
+    return _restart(c_g, x_g, b_g)[0]
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _hc_final_res(c_g, x_g, b_g, topology: GridTopology, mesh: Mesh,
+                  preconditioner: str, interpret: bool, overlap: bool,
+                  algorithm: str):
+    spec3 = P(None, "y", "x")
+    spec0 = P()
+    cspec = jax.tree_util.tree_map(lambda _: spec3, c_g)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(cspec, spec3, spec3),
+             out_specs=(spec3, spec0), check_vma=False)
+    def _fin(c_l, x_l, b_l):
+        M, a_op = _hc_make_ops(c_l, topology, mesh, preconditioner,
+                               interpret, overlap)
+        if algorithm == "bicgstab2":
+            x_l = M(x_l)  # bicgstab2 state lives in y-space
+        r = a_op(x_l) - b_l
+        bn2 = _pdot(b_l, b_l).real
+        res = jnp.sqrt(_pdot(r, r).real
+                       / jnp.where(bn2 == 0, 1.0, bn2))
+        return x_l, res
+
+    return _fin(c_g, x_g, b_g)
+
+
 def solve_shifted_halo_chunked(
     coeffs: StencilCoeffs,
     b,
@@ -98,149 +275,12 @@ def solve_shifted_halo_chunked(
     spec0 = P()
     cspec = jax.tree_util.tree_map(lambda _: spec3, a_coeffs)
 
-    def make_ops(c_l):
-        def a_op(x):
-            halos = _halo_exchange(x, topology, mesh)
-            if overlap:
-                zeros = tuple(jnp.zeros_like(h) for h in halos)
-                bulk = _local_pallas_apply(c_l, x, zeros, None, interpret)
-                return _boundary_patch(
-                    c_l, bulk, halos, jnp.asarray(1.0, bulk.dtype)
-                )
-            return _local_pallas_apply(c_l, x, halos, None, interpret)
-
-        if preconditioner == "tridiag":
-            from ..ops.tridiag_pallas import tridiag_solve_pallas
-
-            gd = jnp.where(c_l.diag != 0, c_l.diag,
-                           jnp.ones((), c_l.diag.dtype))
-
-            def M(v):
-                return tridiag_solve_pallas(
-                    c_l.bottom, gd, c_l.top, v, interpret=interpret
-                )
-        elif preconditioner == "jacobi":
-            M = _jacobi_preconditioner(c_l.diag)
-        else:
-            raise ValueError(f"unknown preconditioner {preconditioner!r}")
-        return M, a_op
-
-    if algorithm == "bicgstab":
-        state_spec = (spec3,) * 4 + (spec0,)
-    elif algorithm == "bicgstab2":
-        state_spec = (spec3,) * 4 + (spec0,) * 3
-    else:
+    # Per-chunk programs are MODULE-LEVEL jits (_hc_run_chunk etc.):
+    # shared jit cache across solves.
+    statics = (topology, mesh, preconditioner, interpret, overlap,
+               algorithm)
+    if algorithm not in ("bicgstab", "bicgstab2"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-
-    @partial(jax.jit, static_argnames=("nsteps",), donate_argnums=(1,))
-    def run_chunk(c_g, state_g, nsteps: int):
-        @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(cspec, state_spec),
-                 out_specs=(state_spec, spec0), check_vma=False)
-        def _run(c_l, st):
-            M, a_op = make_ops(c_l)
-            one = jnp.ones((), b.dtype)
-            guard = lambda d: jnp.where(d == 0, one, d)
-
-            if algorithm == "bicgstab":
-                def body(_, s):
-                    x, r, p, rhat0, rho = s
-                    phat = M(p)
-                    v = a_op(phat)
-                    alpha = rho / guard(_pdot(rhat0, v))
-                    sv = r - alpha * v
-                    shat = M(sv)
-                    t = a_op(shat)
-                    tt = _pdot(t, t)
-                    omega = _pdot(t, sv) / guard(tt)
-                    x = x + alpha * phat + omega * shat
-                    r = sv - omega * t
-                    rho_new = _pdot(rhat0, r)
-                    beta = (rho_new / guard(rho)) * (alpha / guard(omega))
-                    p = r + beta * (p - omega * v)
-                    return (x, r, p, rhat0, rho_new)
-
-                st = jax.lax.fori_loop(0, nsteps, body, st)
-            else:
-                def K(v):
-                    return a_op(M(v))
-
-                def cycle(_, s):
-                    y, r0, u0, rhat, rho0, alpha, omega = s
-                    rho0 = -omega * rho0
-                    rho1 = _pdot(rhat, r0)
-                    beta = alpha * rho1 / guard(rho0)
-                    rho0 = rho1
-                    u0 = r0 - beta * u0
-                    u1 = K(u0)
-                    alpha = rho0 / guard(_pdot(rhat, u1))
-                    r0 = r0 - alpha * u1
-                    r1 = K(r0)
-                    y = y + alpha * u0
-                    rho1 = _pdot(rhat, r1)
-                    beta = alpha * rho1 / guard(rho0)
-                    rho0 = rho1
-                    u0 = r0 - beta * u0
-                    u1 = r1 - beta * u1
-                    u2 = K(u1)
-                    alpha = rho0 / guard(_pdot(rhat, u2))
-                    r0 = r0 - alpha * u1
-                    r1 = r1 - alpha * u2
-                    r2 = K(r1)
-                    y = y + alpha * u0
-                    t11 = _pdot(r1, r1)
-                    t12 = _pdot(r1, r2)
-                    t22 = _pdot(r2, r2)
-                    s1 = _pdot(r0, r1)
-                    s2 = _pdot(r0, r2)
-                    det = guard(t11 * t22 - t12 * t12)
-                    w1 = (t22 * s1 - t12 * s2) / det
-                    w2 = (t11 * s2 - t12 * s1) / det
-                    y = y + w1 * r0 + w2 * r1
-                    r0 = r0 - w1 * r1 - w2 * r2
-                    u0 = u0 - w1 * u1 - w2 * u2
-                    return (y, r0, u0, rhat, rho0, alpha, w2)
-
-                st = jax.lax.fori_loop(0, nsteps, cycle, st)
-            rnorm2 = _pdot(st[1], st[1]).real
-            return st, rnorm2
-
-        return _run(c_g, state_g)
-
-    @jax.jit
-    def restart_jit(c_g, x_g, b_g):
-        @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(cspec, spec3, spec3),
-                 out_specs=(state_spec,), check_vma=False)
-        def _restart(c_l, x_l, b_l):
-            M, a_op = make_ops(c_l)
-            if algorithm == "bicgstab":
-                r = b_l - a_op(x_l)
-                return ((x_l + 0.0, r, r + 0.0, r + 0.0, _pdot(r, r)),)
-            r = b_l - a_op(M(x_l))
-            zero = jnp.zeros((), b_l.dtype)
-            return ((x_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
-                     jnp.ones((), b_l.dtype), zero,
-                     jnp.ones((), b_l.dtype)),)
-
-        return _restart(c_g, x_g, b_g)[0]
-
-    @jax.jit
-    def final_res_jit(c_g, x_g, b_g):
-        @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(cspec, spec3, spec3),
-                 out_specs=(spec3, spec0), check_vma=False)
-        def _fin(c_l, x_l, b_l):
-            M, a_op = make_ops(c_l)
-            if algorithm == "bicgstab2":
-                x_l = M(x_l)  # bicgstab2 state lives in y-space
-            r = a_op(x_l) - b_l
-            bn2 = _pdot(b_l, b_l).real
-            res = jnp.sqrt(_pdot(r, r).real
-                           / jnp.where(bn2 == 0, 1.0, bn2))
-            return x_l, res
-
-        return _fin(c_g, x_g, b_g)
 
     bnorm2 = float(jnp.vdot(b, b).real)
     atol2 = (tol ** 2) * bnorm2
@@ -266,18 +306,20 @@ def solve_shifted_halo_chunked(
         nonlocal state, restarts, window_rn2, pass_rn2
         restarts += 1
         state = None
-        state = restart_jit(a_coeffs, best_x, b)
+        state = _hc_restart(a_coeffs, best_x, b, *statics)
         window_rn2 = float("inf")
         pass_rn2 = best_rn2
 
     while iters < maxiter:
         nsteps = min(chunk, maxiter - iters)
         if algorithm == "bicgstab":
-            state, rnorm2 = run_chunk(a_coeffs, state, nsteps)
+            state, rnorm2 = _hc_run_chunk(a_coeffs, state, nsteps,
+                                          *statics)
             iters += nsteps
         else:
             ncycles = max(1, nsteps // 2)
-            state, rnorm2 = run_chunk(a_coeffs, state, ncycles)
+            state, rnorm2 = _hc_run_chunk(a_coeffs, state, ncycles,
+                                          *statics)
             iters += 2 * ncycles
         rn2 = float(rnorm2)
         if rn2 < best_rn2:  # NaN-safe
@@ -321,7 +363,7 @@ def solve_shifted_halo_chunked(
 
     take_last = rn2 < best_rn2
     xsel = state[0] if take_last else best_x
-    x, res = final_res_jit(a_coeffs, xsel, b)
+    x, res = _hc_final_res(a_coeffs, xsel, b, *statics)
     if stats is not None:
         bn = bnorm2 ** 0.5 if bnorm2 > 0 else 1.0
         sel_rn2 = rn2 if take_last else best_rn2

@@ -163,6 +163,63 @@ def main():
     stage(3, "full BiCGStab while_loop (blocked matvec + Thomas M)",
           bicgstab_unguarded)
 
+    # 4. CONTENT-MINIMAL control: a trivial j-blocked COPY kernel with
+    # the same grid shape and program count as the blocked stencil
+    # kernel ((nb, nz+1) programs, same block sizes, one input stream,
+    # one output stream, no scratch, no rolls/concats), inside the same
+    # while_loop. Splits the two hypotheses for the iteration-count-
+    # dependent worker crash: if THIS crashes at the same loop lengths,
+    # the trigger is the multi-program launch count under a
+    # data-dependent loop bound (runtime resource leak); if it
+    # survives, the trigger is specific to the stencil kernel's content
+    # (scratch rotation / side streams / concats).
+    def copy_kernel_while():
+        import functools
+
+        import numpy as np
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from otmb_tpu.ops.pallas_util import index_map_i32
+        from otmb_tpu.ops.stencil_pallas import _pick_j_block
+
+        by = _pick_j_block(ny, nx, 4, budget_bytes=64 * 1024 * 1024)
+        nb = ny // by
+        print(f"  copy kernel grid: ({nb}, {nz + 1}) programs, "
+              f"block (1, {by}, {nx})", flush=True)
+
+        def kern(x_ref, o_ref):
+            step = pl.program_id(1)
+
+            @pl.when(step > 0)
+            def _():
+                o_ref[0] = x_ref[0] * np.float32(1.0000001)
+
+        blk = lambda jb, s: (jnp.maximum(s - 1, 0), jb, 0)
+        spec = pl.BlockSpec((1, by, nx), index_map_i32(blk),
+                            memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kern, grid=(nb, nz + 1), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+        )
+
+        @jax.jit
+        def wl(c):
+            def cond(st):
+                return st[1] < args.iters
+
+            def body(st):
+                c, i = st
+                return call(c), i + 1
+
+            out, _ = jax.lax.while_loop(cond, body, (c, jnp.int32(0)))
+            return out
+
+        return wl(chi)
+
+    stage(4, "content-minimal blocked COPY kernel in while_loop",
+          copy_kernel_while)
+
     print("ALL STAGES PASSED", flush=True)
 
 

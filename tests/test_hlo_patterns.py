@@ -247,43 +247,22 @@ def test_sharded_chunked_krylov_hlo_is_permute_only(mesh, case, algorithm):
     """The sharded fori-chunked Krylov engine's per-chunk program (the
     production mesh path at shard-blocked sizes): halo ppermutes for the
     matvec, all-reduces only as scalar dot products."""
-    from functools import partial
-
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
     import otmb_tpu.parallel.solve_halo_chunked as HC
 
     topo, coeffs_sh, chi_sh = case
-    # capture the jitted per-chunk callable by running one tiny solve
-    # with a spy on jax.jit-compiled chunk: simplest robust probe is to
-    # lower the whole solve's first chunk via a wrapper that runs a
-    # single chunk worth of work
-    hlo_box = {}
-    real_jit = jax.jit
-
-    def spy_jit(fn=None, **kw):
-        wrapped = real_jit(fn, **kw) if fn is not None else real_jit(**kw)
-        if fn is not None and getattr(fn, "__name__", "") == "run_chunk":
-            def capture(*a, **k):
-                lowered = wrapped.lower(*a, **k)
-                hlo_box["hlo"] = lowered.compile().as_text()
-                return wrapped(*a, **k)
-
-            return capture
-        return wrapped
-
-    jax.jit = spy_jit
-    try:
-        x, res = HC.solve_shifted_halo_chunked(
-            coeffs_sh, chi_sh, topo, mesh, shift=1e-4, tol=1e-8,
-            maxiter=20, chunk=10, algorithm=algorithm, interpret=True,
-        )
-    finally:
-        jax.jit = real_jit
-    assert float(res) < 1.0
-    assert "hlo" in hlo_box, "run_chunk was never jitted/captured"
+    b = jnp.asarray(chi_sh)
+    if algorithm == "bicgstab":
+        state = (jnp.zeros_like(b), b + 0.0, b + 0.0, b + 0.0,
+                 jnp.vdot(b, b))
+    else:
+        state = (jnp.zeros_like(b), b + 0.0, jnp.zeros_like(b), b + 0.0,
+                 jnp.ones((), b.dtype), jnp.zeros((), b.dtype),
+                 jnp.ones((), b.dtype))
+    lowered = HC._hc_run_chunk.lower(
+        coeffs_sh, state, 10, topo, mesh, "tridiag", True, True, algorithm
+    )
+    hlo = lowered.compile().as_text()
     _assert_permute_only(
-        hlo_box["hlo"],
-        f"solve_shifted_halo_chunked({algorithm}) chunk",
-        allow_scalar_allreduce=True,
+        hlo, f"_hc_run_chunk({algorithm})", allow_scalar_allreduce=True,
     )
