@@ -94,6 +94,18 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: the 0.25-degree workloads spend
+    # 30-80 s per process on XLA/Mosaic compiles (measured run-to-run
+    # spread of the quarter-scale idealage bench was 111-155 s with an
+    # IDENTICAL solve trajectory — all compile/dispatch variance).
+    # Verified to work through the TPU relay's remote compiler.
+    from pathlib import Path as _Path
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(_Path(__file__).resolve().parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     if args.workload == "idealage":
         # f64 defect correction needs x64 in-process (TPU emulates f64).
         jax.config.update("jax_enable_x64", True)
