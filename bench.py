@@ -131,6 +131,7 @@ def main():
     # relayed) host<->device link even at 0.25-degree scale.
     from otmb_tpu.utils.synthetic import synthetic_device_case
 
+    t_setup0 = time.perf_counter()
     gm, wet3d, umo, vmo, mlotst = synthetic_device_case(
         nx, ny, nz, topology="tripolar", dtype=jnp.float32, seed=0
     )
@@ -141,6 +142,8 @@ def main():
         lambda gm_, wet_, u, v, m: assemble_transport(u, v, m, gm_, wet_).T
     )(gm, wet3d, umo, vmo, mlotst)
     jax.block_until_ready(coeffs)
+    print(f"# setup+assembly: {time.perf_counter()-t_setup0:.1f} s "
+          f"(incl. backend init + compiles)", file=sys.stderr)
     dt = np.float32(100.0)
 
     if args.workload == "idealage":

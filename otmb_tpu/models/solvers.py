@@ -142,7 +142,7 @@ def _bicgstab_matrix_free(a_op, b, M, tol, maxiter):
 
 
 def resolve_apply_impl(topology: GridTopology, dtype, apply_impl: str = "pallas",
-                       mesh=None) -> str:
+                       mesh=None, maxiter: int | None = None) -> str:
     """The operator-application implementation `solve_shifted` (and the
     other while_loop-based solvers) will ACTUALLY use for this
     configuration — the machine-readable form of the demotion that
@@ -166,7 +166,8 @@ def resolve_apply_impl(topology: GridTopology, dtype, apply_impl: str = "pallas"
     if apply_impl == "pallas":
         from ..ops.stencil_pallas import blocked_unstable_in_while
 
-        if blocked_unstable_in_while(topology, jnp.dtype(dtype).itemsize):
+        if blocked_unstable_in_while(topology, jnp.dtype(dtype).itemsize,
+                                     iters=maxiter):
             return "jnp"
     return apply_impl
 
@@ -228,7 +229,8 @@ def solve_shifted(
     # must not silently promote the whole Krylov recurrence.
     extra = (0.0 if extra_diag is None
              else jnp.asarray(extra_diag, b.dtype))
-    resolved = resolve_apply_impl(topology, b.dtype, apply_impl, mesh=None)
+    resolved = resolve_apply_impl(topology, b.dtype, apply_impl, mesh=None,
+                                  maxiter=maxiter)
     if resolved != apply_impl:
         # See blocked_unstable_in_while: prefer solve_shifted_chunked
         # at this size; inside this jitted entry the only safe
@@ -914,7 +916,8 @@ def solve_shifted_multi(
         )
 
         if (not _multi_vmem_ok(bs.shape[0], topology, bs.dtype.itemsize)
-                or blocked_unstable_in_while(topology, bs.dtype.itemsize)):
+                or blocked_unstable_in_while(topology, bs.dtype.itemsize,
+                                             iters=maxiter)):
             # Same while_loop guard as solve_shifted (see
             # blocked_unstable_in_while) — use the (natively batched)
             # jnp matvec here; the fast path at blocked sizes is

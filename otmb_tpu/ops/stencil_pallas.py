@@ -617,30 +617,45 @@ def _resolve_variant(variant: str, topology: GridTopology, itemsize: int) -> str
     return "carry" if full_set <= _FULL_SLAB_VMEM_BUDGET else "blocked"
 
 
-def blocked_unstable_in_while(topology: GridTopology, itemsize: int) -> bool:
+#: while_loop iteration bound under which the j-blocked kernel is
+#: admitted on real TPU: round-5 bracketing (tests/repro_blocked_while.py)
+#: measured PASS at 1000 iterations and CRASH at 1500, so 500 keeps a
+#: 2x safety margin under the lowest measured PASS point.
+BLOCKED_WHILE_SAFE_ITERS = 500
+
+
+def blocked_unstable_in_while(topology: GridTopology, itemsize: int,
+                              iters: int | None = None) -> bool:
     """True when a matvec at this grid size would use the j-blocked kernel
     on a REAL TPU inside a `lax.while_loop` — the one runtime pattern this
-    repo treats as unsafe.
+    repo treats as unsafe at production iteration counts.
 
-    Evidence (tests/repro_blocked_while.py, re-run round 4 on v5e/jax
-    0.9.0 after the x64 index-map fix): the blocked kernel inside a
-    while_loop at 1440x1080x75 PASSES at 30 and 200 iterations, but a
-    production-length 2000-iteration BiCGStab crashes the worker
-    outright ("UNAVAILABLE: TPU worker process crashed or restarted")
-    — an iteration-count-dependent runtime fault, not the (separately
-    fixed) x64 index-map Mosaic bug, and not buffer aliasing (round 2
-    reproduced it both ways). The SAME kernel driven by `lax.fori_loop`
-    chunks is stable at roofline for arbitrarily many total iterations,
-    so the guard stays, and callers that hit it should route to the
-    host-chunked fori_loop Krylov
-    (`models.solvers.solve_shifted_chunked`) — both stable and faster
-    than the jnp-matvec fallback. OTMB_ALLOW_BLOCKED_WHILE=1 opts back
-    in (used by the repro script; expect a worker crash + multi-minute
-    backend recovery).
+    Evidence (tests/repro_blocked_while.py; v5e, jax 0.9.0): the blocked
+    kernel inside a BiCGStab while_loop at 1440x1080x75 PASSES at 30,
+    200, and 1000 iterations but CRASHES the worker at 1500 and 2000
+    ("UNAVAILABLE: TPU worker process crashed or restarted") — an
+    iteration-count-dependent runtime fault. Excluded causes: buffer
+    aliasing (round 2, both ways), the x64 index-map Mosaic bug (fixed
+    separately), and the multi-program launch count alone (round 5: a
+    content-minimal blocked COPY kernel with the same grid shape PASSES
+    2000 while_loop iterations — the trigger is specific to the stencil
+    kernel's content, scaled by repetition). The SAME kernel driven by
+    `lax.fori_loop` chunks is stable at roofline for arbitrarily many
+    total iterations, so callers that hit the guard should route to the
+    host-chunked fori_loop Krylov (`models.solvers.solve_shifted_chunked`).
+
+    `iters`: the caller's loop bound, when known. Loops bounded by
+    `BLOCKED_WHILE_SAFE_ITERS` (= 500, a 2x margin under the bracketed
+    1000-iteration PASS) are admitted — the round-4 blanket size
+    predicate demoted even short while_loops. OTMB_ALLOW_BLOCKED_WHILE=1
+    opts back in entirely (used by the repro script; expect a worker
+    crash + multi-minute backend recovery).
     """
     import os
 
     if os.environ.get("OTMB_ALLOW_BLOCKED_WHILE") == "1":
+        return False
+    if iters is not None and iters <= BLOCKED_WHILE_SAFE_ITERS:
         return False
     return (not _default_interpret()
             and _resolve_variant("auto", topology, itemsize) == "blocked")

@@ -23,10 +23,30 @@ History:
     and fori_loop chunks of any total length are fine. Hypotheses
     tested and excluded: buffer aliasing (round 2, both ways), the x64
     index-map Mosaic bug (fixed separately; stage 3 still crashes at
-    2000 iters after the fix). Remaining suspect: a per-iteration
-    resource leak in the runtime's handling of multi-program kernel
-    launches under a data-dependent loop bound. The guard
-    (`blocked_unstable_in_while`) therefore stays on.
+    2000 iters after the fix).
+  * Round 5 bracketing + hypothesis split (v5e, jax 0.9.0, the
+    upstream-ready result matrix):
+
+        stage 3 (BiCGStab while_loop, blocked matvec + Thomas M)
+          maxiter   30   200   1000   1500   2000
+          result   PASS  PASS  PASS  CRASH  CRASH
+        stage 4 (content-minimal blocked COPY kernel, same grid class)
+          iters   2000
+          result  PASS
+
+    The crash threshold sits between 1000 and 1500 while_loop
+    iterations (2000-3000 j-blocked stencil launches at 2 matvecs +
+    2 Thomas applies per iteration). The CONTENT-MINIMAL control — a
+    trivial copy kernel with the same (nb, nz+1) grid shape and block
+    sizes, one input + one output stream, no scratch — PASSES at 2000
+    iterations, so the trigger is NOT the multi-program launch count
+    alone: it is specific to the stencil kernel's content (the 3-slot
+    VMEM scratch rotation, the 11-operand stream set, or the
+    rolls/concats), scaled by repetition count. The guard
+    (`blocked_unstable_in_while`) now admits SHORT while_loops
+    (maxiter <= 500, a 2x safety margin under the bracketed 1000-PASS
+    point) when the caller provides its iteration bound, and stays
+    blanket-on otherwise.
 
 Stages:
   1. j-blocked apply kernel alone in a 30-iteration while_loop

@@ -1062,3 +1062,28 @@ def test_chunked_bicgstab2_fused_matches_composition(ops, gridmetrics,
     scale = float(np.abs(np.asarray(xc)).max())
     np.testing.assert_allclose(np.asarray(xf), np.asarray(xc),
                                atol=2e-4 * scale, rtol=0)
+
+
+def test_blocked_while_guard_admits_short_loops(monkeypatch):
+    """Round-5 bracketing: the while_loop fault needs >1000 iterations
+    (PASS at 1000, CRASH at 1500); loops bounded by the 2x-margin safe
+    bound (500) are admitted instead of blanket-demoted."""
+    from otmb_tpu import resolve_apply_impl
+    from otmb_tpu.ops import stencil_pallas as SP
+
+    class FakeTopo:
+        shape3d = (75, 1080, 1440)
+        is_tripolar = True
+        kind = "tripolar"
+        nx, ny, nz = 1440, 1080, 75
+
+    monkeypatch.setattr(SP, "_default_interpret", lambda: False)
+    t = FakeTopo()
+    assert SP.blocked_unstable_in_while(t, 4)            # unknown bound
+    assert SP.blocked_unstable_in_while(t, 4, iters=501)
+    assert not SP.blocked_unstable_in_while(t, 4, iters=500)
+    assert resolve_apply_impl(t, jnp.float32, "pallas") == "jnp"
+    assert resolve_apply_impl(t, jnp.float32, "pallas",
+                              maxiter=300) == "pallas"
+    assert resolve_apply_impl(t, jnp.float32, "pallas",
+                              maxiter=2000) == "jnp"
