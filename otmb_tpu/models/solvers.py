@@ -1235,26 +1235,45 @@ def _sr_apply_M(mc_l, md_l, c_l, y_l, preconditioner: str, interpret: bool):
     return _mk_M(mc_l, md_l, preconditioner, interpret)(y_l)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _sr_restart2(c_l, mc_l, md_l, y_l, b_l, topology: GridTopology,
-                 preconditioner: str, interpret: bool):
+                 preconditioner: str, interpret: bool, jitter: int = 0):
     from ..ops.stencil_pallas import apply_stencil_pallas
 
     M = _mk_M(mc_l, md_l, preconditioner, interpret)
     r = b_l - apply_stencil_pallas(c_l, M(y_l), topology, interpret)
     zero = jnp.zeros((), b_l.dtype)
-    return (y_l + 0.0, r, jnp.zeros_like(r), r + 0.0,
+    return (y_l + 0.0, r, jnp.zeros_like(r), _jitter_rhat(r, jitter),
             jnp.ones((), b_l.dtype), zero, jnp.ones((), b_l.dtype))
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _sr_restart1(c_l, x_l, b_l, topology: GridTopology, interpret: bool):
+def _jitter_rhat(r, jitter):
+    """A perturbed shadow vector for breakdown-recovery restarts.
+
+    A BiCGStab divergence is deterministic: restarting from the same
+    iterate with rhat = r replays the identical blow-up (observed: a
+    diverged inner refinement pass whose best iterate was x0 made every
+    subsequent pass bit-identical, so the refinement could never
+    progress). Perturbing rhat (a k-alternating +-10%% modulation,
+    scaled by the restart ordinal) changes every <rhat, .> projection
+    while preserving land zeros and the overlap with r."""
+    if jitter == 0:
+        return r + 0.0
+    sign = (jax.lax.broadcasted_iota(jnp.int32, r.shape, 0) % 2) * 2 - 1
+    return r * (1.0 + jnp.asarray(0.1 * jitter, r.dtype)
+                * sign.astype(r.dtype))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _sr_restart1(c_l, x_l, b_l, topology: GridTopology, interpret: bool,
+                 jitter: int = 0):
     from ..ops.stencil_pallas import apply_stencil_pallas
 
     r = b_l - apply_stencil_pallas(c_l, x_l, topology, interpret)
     # x copied out of best_x's buffer: the returned state is donated
     # into the next chunk while best_x must survive.
-    return (x_l + 0.0, r, r + 0.0, r + 0.0, jnp.vdot(r, r))
+    return (x_l + 0.0, r, r + 0.0, _jitter_rhat(r, jitter),
+            jnp.vdot(r, r))
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -1284,10 +1303,18 @@ def solve_shifted_chunked(
     algorithm: str = "bicgstab",
     stats: dict | None = None,
     fused: bool | None = None,
+    max_diverge_restarts: int = 2,
 ):
     """`solve_shifted` with the Krylov loop split into host-controlled
     fori_loop chunks, for grids where the Pallas matvec resolves to the
     j-blocked kernel.
+
+    `max_diverge_restarts` bounds the DIVERGENCE-specific restarts
+    (independent of `max_restarts`, which refinement callers set to 0
+    for stall handling): each divergence retry perturbs the shadow
+    vector (`_jitter_rhat`) so the replay takes a different Krylov
+    trajectory — a diverged pass restarted verbatim from the same
+    iterate is deterministic and blows up identically.
 
     `fused` (default: auto) routes `algorithm="bicgstab2"` iterations
     through the fused Krylov-step kernel (`ops/krylov_pallas.py`): each
@@ -1427,6 +1454,7 @@ def solve_shifted_chunked(
     best_x = jnp.zeros_like(b)
     best_rn2 = float(jnp.vdot(b, b).real)  # residual at x0 = 0 is b
     restarts = 0
+    div_restarts = 0
     # Residual-norm^2 at the start of the current Krylov pass (a fresh
     # start or the last restart) — the reference point for the in-pass
     # divergence exit.
@@ -1434,16 +1462,17 @@ def solve_shifted_chunked(
     rn2 = bnorm2
     stop = "maxiter"
 
-    def do_restart():
+    def do_restart(jitter: int = 0):
         nonlocal state, restarts, window_rn2, pass_rn2
         restarts += 1
         state = None  # free the grid vectors before rebuilding
         if algorithm == "bicgstab":
-            state = _sr_restart1(a_coeffs, best_x, b, topology, interpret)
+            state = _sr_restart1(a_coeffs, best_x, b, topology, interpret,
+                                 jitter)
         else:
             state = _sr_restart2(a_coeffs, m_coeffs, shifted_diag,
                                  best_x, b, topology, preconditioner,
-                                 interpret)
+                                 interpret, jitter)
         window_rn2 = float("inf")
         pass_rn2 = best_rn2
 
@@ -1486,15 +1515,21 @@ def solve_shifted_chunked(
         # budget on a diverging recurrence (round-4 artifacts: whole
         # 600-iteration passes ended above their starting residual).
         if not rn2 <= 16.0 * pass_rn2:  # NaN-safe: NaN -> diverged
-            if restarts < max_restarts:
+            # Divergence restarts have their OWN budget (independent of
+            # the stall budget, which refinement callers set to 0): a
+            # blow-up replayed from the same state is deterministic, so
+            # each retry perturbs the shadow vector (_jitter_rhat) to
+            # change the Krylov trajectory.
+            if div_restarts < max_diverge_restarts:
+                div_restarts += 1
                 if verbose:
                     import sys as _sys
 
                     print(f"#   chunked iter {iters}: DIVERGED "
-                          f"(rel {(rn2 / bnorm2) ** 0.5:.3e}); restart "
-                          f"{restarts + 1} from best iterate",
+                          f"(rel {(rn2 / bnorm2) ** 0.5:.3e}); jittered "
+                          f"restart {div_restarts} from best iterate",
                           file=_sys.stderr)
-                do_restart()
+                do_restart(jitter=div_restarts)
                 continue
             stop = "diverged"
             break
@@ -1549,6 +1584,7 @@ def solve_shifted_chunked(
         sel_rn2 = rn2 if take_last else best_rn2
         stats.update(
             iters=iters, restarts=restarts, stop=stop,
+            diverge_restarts=div_restarts,
             start_rel=1.0, end_rel=(sel_rn2 ** 0.5) / bn,
         )
     if algorithm == "bicgstab2":

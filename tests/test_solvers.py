@@ -1087,3 +1087,60 @@ def test_blocked_while_guard_admits_short_loops(monkeypatch):
                               maxiter=300) == "pallas"
     assert resolve_apply_impl(t, jnp.float32, "pallas",
                               maxiter=2000) == "jnp"
+
+
+def test_diverge_restarts_break_deterministic_blowup(ops, gridmetrics,
+                                                     indices):
+    """The determinism trap (round-5 bench, seed-1 circulation): a
+    diverged pass whose best iterate is x0 must NOT replay the identical
+    blow-up — divergence restarts perturb the shadow vector and get
+    their own budget even when max_restarts=0 (the refinement inner
+    configuration). The raw f32 age system on this grid NaNs
+    BiCGStab(1) within the first chunk, which fires exactly this
+    branch."""
+    from otmb_tpu.grid.geometry import makegridmetrics
+    from otmb_tpu.grid.indices import makeindices
+    from otmb_tpu.models.solvers import solve_shifted_chunked
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+    from otmb_tpu.utils.synthetic import synthetic_dataset
+
+    ds = synthetic_dataset(nx=24, ny=16, nz=8, topology="tripolar",
+                           seed=42)
+    gridmetrics = makegridmetrics(
+        areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon,
+        lat=ds.lat, lev=ds.lev, lon_vertices=ds.lon_vertices,
+        lat_vertices=ds.lat_vertices,
+    )
+    indices = makeindices(gridmetrics.v3d)
+    phi = facefluxesfrommasstransport(
+        umo=ds.umo, vmo=ds.vmo, gridmetrics=gridmetrics, indices=indices,
+    )
+    ops = transportmatrix(
+        phi=phi, mlotst=ds.mlotst, gridmetrics=gridmetrics,
+        indices=indices,
+    )
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+    ones = np.where(wet, np.float32(1.0), np.float32(0.0))
+    surf = np.zeros(gridmetrics.shape, np.float32)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0).astype(np.float32)
+    stats = {}
+    _, res = solve_shifted_chunked(
+        c32, ones, topo, extra_diag=surf, tol=1e-6,
+        algorithm="bicgstab", max_restarts=0, max_diverge_restarts=2,
+        stats=stats,
+    )
+    assert stats["diverge_restarts"] >= 1  # the jittered retries fired
+    assert float(res) <= 1.0 + 1e-5
+    # with the budget off, the exit is immediate (old behavior)
+    st0 = {}
+    solve_shifted_chunked(
+        c32, ones, topo, extra_diag=surf, tol=1e-6,
+        algorithm="bicgstab", max_restarts=0, max_diverge_restarts=0,
+        stats=st0,
+    )
+    assert st0["diverge_restarts"] == 0
+    assert st0["iters"] <= stats["iters"]
