@@ -164,6 +164,9 @@ def main():
                     extra = (f", inner {p['inner_iters']} iters -> "
                              f"{p.get('inner_stop')} "
                              f"(end rel {p.get('inner_end_rel'):.2e})")
+                if p.get("wall_s") is not None:
+                    extra += (f", {p['wall_s']:.1f} s "
+                              f"(defect eval {p.get('defect_s', 0):.1f} s)")
                 rev = " [reverted]" if p.get("reverted") else ""
                 print(f"#   {label} pass {i}: defect rel "
                       f"{p['rel_start']:.2e}{rev}{extra}", file=sys.stderr)

@@ -511,15 +511,26 @@ def solve_shifted_ir(
     best_x = None
     best_rel = float("inf")
     pass_log = [] if stats is None else stats.setdefault("passes", [])
-    for _ in range(max_refinements):
+    import time as _time
+
+    for _pass_i in range(max_refinements):
+        _t_pass = _time.perf_counter()
         # Drop the previous pass's defect and correction BEFORE the next
         # wide defect evaluation: at the 0.25-degree scale keeping them
         # live (1.4 GB) across the f64 apply tips the device into OOM.
         r_hat = d = None
-        r_hat, s_safe, rel = _ir_defect(
-            coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
-            topology, transpose,
-        )
+        if _pass_i == 0:
+            # x == 0 exactly, so the defect IS b: skip the wide apply
+            # (one emulated-f64 stencil pass costs seconds at the
+            # 0.25-degree scale). Identical to _ir_defect at x=0.
+            r_hat = b_n.astype(wide) / bnorm_safe
+            s_safe = bnorm_safe
+            rel = bnorm / bnorm_safe  # 1.0; 0.0 for an all-zero RHS
+        else:
+            r_hat, s_safe, rel = _ir_defect(
+                coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
+                topology, transpose,
+            )
         relf = float(rel)
         if relf < best_rel:
             best_rel = relf
@@ -549,7 +560,8 @@ def solve_shifted_ir(
             reverted = True
         else:
             reverted = False
-        pass_entry = {"rel_start": relf, "reverted": reverted}
+        pass_entry = {"rel_start": relf, "reverted": reverted,
+                      "defect_s": _time.perf_counter() - _t_pass}
         pass_log.append(pass_entry)
         # Each refinement should contract the residual by roughly
         # inner_tol; no contraction means the inner Krylov solve is
@@ -575,6 +587,17 @@ def solve_shifted_ir(
             pass_entry["stagnated"] = True
             break
         rel_prev = relf
+        # Dynamic per-pass tolerance: a late pass only needs to contract
+        # the defect by the REMAINING gap to tol, not all the way to
+        # inner_tol. With the outer defect at relf, an inner contraction
+        # of 0.5*tol/relf already lands the next defect at tol/2 — e.g.
+        # at 0.25 degree the final pass needed a 3x contraction but
+        # burned its full 600-iteration budget chasing inner_tol=1e-4
+        # (run log: pass 3 "600 iters -> stall" where ~100 sufficed).
+        # The 0.5 safety factor absorbs the recurrence-vs-true residual
+        # mismatch at pass exit.
+        pass_tol = min(0.9, max(inner_tol, 0.5 * tol / relf))
+        pass_entry["inner_tol"] = pass_tol
         rhs = r_hat.astype(narrow_vec)
         r_hat = None  # the wide defect (0.9 GB at 0.25-degree) is spent
         if chunked_inner:
@@ -593,7 +616,7 @@ def solve_shifted_ir(
             inner_stats = {}
             d, _ = solve_shifted_chunked(
                 coeffs, rhs, topology, shift=shift,
-                extra_diag=extra_diag, tol=inner_tol,
+                extra_diag=extra_diag, tol=pass_tol,
                 maxiter=inner_maxiter, transpose=transpose,
                 preconditioner=preconditioner, max_restarts=0,
                 algorithm=inner_algorithm, stats=inner_stats,
@@ -612,7 +635,7 @@ def solve_shifted_ir(
             inner_stats = {}
             d, _ = solve_shifted_halo_chunked(
                 coeffs, rhs, topology, mesh, shift=shift,
-                extra_diag=extra_diag, tol=inner_tol,
+                extra_diag=extra_diag, tol=pass_tol,
                 maxiter=inner_maxiter, transpose=transpose,
                 preconditioner=preconditioner, max_restarts=0,
                 algorithm=inner_algorithm, stats=inner_stats,
@@ -626,13 +649,18 @@ def solve_shifted_ir(
         else:
             d, _ = solve_shifted(
                 coeffs, rhs, topology, shift=shift,
-                extra_diag=extra_diag, tol=inner_tol, method=method,
+                extra_diag=extra_diag, tol=pass_tol, method=method,
                 maxiter=inner_maxiter, transpose=transpose,
                 preconditioner=preconditioner, apply_impl=apply_impl,
                 mesh=mesh,
             )
         rhs = None
         x = _ir_update(x, s_safe, d)
+        # Wall time of this pass (defect eval + inner solve; the update
+        # dispatch is async — its tail lands in the NEXT pass's
+        # defect_s, so the per-pass sum is exact even if the split is
+        # approximate at the boundary).
+        pass_entry["wall_s"] = _time.perf_counter() - _t_pass
     else:
         _, _, rel = _ir_defect(
             coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,

@@ -1144,3 +1144,46 @@ def test_diverge_restarts_break_deterministic_blowup(ops, gridmetrics,
     )
     assert st0["diverge_restarts"] == 0
     assert st0["iters"] <= stats["iters"]
+
+
+def test_ir_dynamic_pass_tolerance(ops, gridmetrics, indices, monkeypatch):
+    """Late refinement passes must run with a WIDENED inner tolerance:
+    once the outer defect sits at relf, contracting the defect system
+    past ~0.5*tol/relf is wasted work (the 0.25-degree driver log showed
+    a final pass burning its full 600-iteration budget where a 3x
+    contraction sufficed). Each pass's effective tolerance is
+    max(inner_tol, 0.5*tol/relf), recorded in the pass stats."""
+    from otmb_tpu.models import solvers as S
+
+    topo = gridmetrics.topology
+    wet = np.asarray(indices.wet3d)
+    ones = np.where(wet, 1.0, 0.0)
+    surf = np.zeros(gridmetrics.shape)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), ops.T)
+
+    real = S.solve_shifted
+    seen_tols = []
+
+    def recording(coeffs, b, topology, **kw):
+        seen_tols.append(kw.get("tol"))
+        return real(coeffs, b, topology, **kw)
+
+    monkeypatch.setattr(S, "solve_shifted", recording)
+    stats = {}
+    tol = 1e-9
+    x, rel = S.solve_shifted_ir(
+        c32, ones, topo, extra_diag=surf, tol=tol, inner_tol=1e-4,
+        stats=stats,
+    )
+    assert float(rel) < tol
+    passes = stats["passes"]
+    assert len(passes) == len(seen_tols) >= 2
+    for p, t in zip(passes, seen_tols):
+        expect = min(0.9, max(1e-4, 0.5 * tol / p["rel_start"]))
+        assert t == pytest.approx(expect)
+        assert p["inner_tol"] == pytest.approx(expect)
+    # a synthetic near-converged pass widens: at rel_start 2e-9 the
+    # formula hands the inner solve a 0.25 tolerance, not inner_tol
+    assert min(0.9, max(1e-4, 0.5 * tol / 2e-9)) == pytest.approx(0.25)
