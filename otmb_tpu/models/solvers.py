@@ -522,10 +522,19 @@ def solve_shifted_ir(
         if _pass_i == 0:
             # x == 0 exactly, so the defect IS b: skip the wide apply
             # (one emulated-f64 stencil pass costs seconds at the
-            # 0.25-degree scale). Identical to _ir_defect at x=0.
-            r_hat = b_n.astype(wide) / bnorm_safe
-            s_safe = bnorm_safe
-            rel = bnorm / bnorm_safe  # 1.0; 0.0 for an all-zero RHS
+            # 0.25-degree scale), and normalize in b's own (narrow)
+            # dtype — the emulated-f64 norm+divide of the grid vector
+            # costs ~7 s at 0.25 degree. Consistency is what matters
+            # for correctness: s_safe and the rhs normalization use the
+            # SAME value, so norm rounding cancels in the update
+            # x += s_safe * d; it only shifts the reported rel by
+            # O(norm rounding), multiplicatively.
+            b_nv = b_n.astype(narrow_vec)  # never below f32
+            bn_n = jnp.linalg.norm(b_nv)
+            bn_n_safe = jnp.where(bn_n == 0, 1.0, bn_n)
+            r_hat = b_nv / bn_n_safe
+            s_safe = bn_n_safe.astype(wide)
+            rel = (bn_n / bn_n_safe).astype(wide)  # 1.0; 0.0 if b == 0
         else:
             r_hat, s_safe, rel = _ir_defect(
                 coeffs, x, b_n, extra_n, shift_wide, bnorm_safe,
