@@ -167,6 +167,11 @@ def main():
                 if p.get("wall_s") is not None:
                     extra += (f", {p['wall_s']:.1f} s "
                               f"(defect eval {p.get('defect_s', 0):.1f} s)")
+                cs = p.get("inner_chunk_s")
+                if cs:
+                    med = sorted(cs)[len(cs) // 2]
+                    extra += (f"; chunks first {cs[0]:.2f} s, "
+                              f"median {med:.2f} s, max {max(cs):.2f} s")
                 rev = " [reverted]" if p.get("reverted") else ""
                 print(f"#   {label} pass {i}: defect rel "
                       f"{p['rel_start']:.2e}{rev}{extra}", file=sys.stderr)

@@ -635,6 +635,7 @@ def solve_shifted_ir(
                 inner_stop=inner_stats.get("stop"),
                 inner_restarts=inner_stats.get("restarts"),
                 inner_end_rel=inner_stats.get("end_rel"),
+                inner_chunk_s=inner_stats.get("chunk_s"),
             )
         elif halo_chunked_inner:
             from ..parallel.solve_halo_chunked import (
@@ -654,6 +655,7 @@ def solve_shifted_ir(
                 inner_stop=inner_stats.get("stop"),
                 inner_restarts=inner_stats.get("restarts"),
                 inner_end_rel=inner_stats.get("end_rel"),
+                inner_chunk_s=inner_stats.get("chunk_s"),
             )
         else:
             d, _ = solve_shifted(
@@ -1296,7 +1298,10 @@ def _jitter_rhat(r, jitter):
     while preserving land zeros and the overlap with r."""
     if jitter == 0:
         return r + 0.0
-    sign = (jax.lax.broadcasted_iota(jnp.int32, r.shape, 0) % 2) * 2 - 1
+    # alternate along k: dim 0 for (nz, ny, nx), dim 1 for batched
+    # (B, nz, ny, nx) fields
+    k_dim = r.ndim - 3
+    sign = (jax.lax.broadcasted_iota(jnp.int32, r.shape, k_dim) % 2) * 2 - 1
     return r * (1.0 + jnp.asarray(0.1 * jitter, r.dtype)
                 * sign.astype(r.dtype))
 
@@ -1513,7 +1518,11 @@ def solve_shifted_chunked(
         window_rn2 = float("inf")
         pass_rn2 = best_rn2
 
+    import time as _time
+
+    chunk_s = [] if stats is not None else None
     while iters < maxiter:
+        _t_chunk = _time.perf_counter()
         nsteps = min(chunk, maxiter - iters)
         if algorithm == "bicgstab":
             state, rnorm2 = _sr_chunk1(a_coeffs, m_coeffs, shifted_diag,
@@ -1533,6 +1542,12 @@ def solve_shifted_chunked(
                                            interpret)
             iters += 2 * ncycles
         rn2 = float(rnorm2)
+        if chunk_s is not None:
+            # wall per chunk INCLUDING the scalar-fetch sync — the
+            # slow-first-chunk signature (compile-cache deserialize,
+            # kernel upload) vs a uniformly slow pass is readable from
+            # the bench artifact alone.
+            chunk_s.append(round(_time.perf_counter() - _t_chunk, 4))
         if rn2 < best_rn2:  # NaN-safe: NaN compares False
             best_rn2 = rn2
             best_x = state[0] + 0.0  # copy: state is donated next chunk
@@ -1623,6 +1638,7 @@ def solve_shifted_chunked(
             iters=iters, restarts=restarts, stop=stop,
             diverge_restarts=div_restarts,
             start_rel=1.0, end_rel=(sel_rn2 ** 0.5) / bn,
+            chunk_s=chunk_s,
         )
     if algorithm == "bicgstab2":
         # the bicgstab2 state lives in right-preconditioned y-space
@@ -1777,22 +1793,24 @@ def _mr_blend(old, new, mask_d):
     return tuple(pick(o, n) for o, n in zip(old, new))
 
 
-@partial(jax.jit, static_argnums=(5, 6), donate_argnums=(1,))
+@partial(jax.jit, static_argnums=(5, 6, 7), donate_argnums=(1,))
 def _mr_restart_members(c_l, state_old, xs_best, bs_l, mask_d,
-                        topology: GridTopology, interpret: bool):
+                        topology: GridTopology, interpret: bool,
+                        jitter: int = 0):
     """Fresh Krylov space from the best iterate for the members in
     `mask_d` only; other members' state passes through untouched."""
     from ..ops.stencil_pallas import apply_stencil_pallas_multi
 
     r = bs_l - apply_stencil_pallas_multi(c_l, xs_best, topology, interpret)
-    new = (xs_best + 0.0, r, r + 0.0, r + 0.0, _mdot(r, r))
+    new = (xs_best + 0.0, r, r + 0.0, _jitter_rhat(r, jitter),
+           _mdot(r, r))
     return _mr_blend(state_old, new, mask_d)
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9), donate_argnums=(3,))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10), donate_argnums=(3,))
 def _mr_restart_members2(c_l, mc_l, md_l, state_old, xs_best, bs_l, mask_d,
                          topology: GridTopology, preconditioner: str,
-                         interpret: bool):
+                         interpret: bool, jitter: int = 0):
     from ..ops.stencil_pallas import apply_stencil_pallas_multi
 
     M = _mk_M_multi(mc_l, md_l, preconditioner, interpret)
@@ -1800,7 +1818,7 @@ def _mr_restart_members2(c_l, mc_l, md_l, state_old, xs_best, bs_l, mask_d,
                                           interpret)
     B = bs_l.shape[0]
     ones_b = jnp.ones((B,), bs_l.dtype)
-    new = (xs_best + 0.0, r, jnp.zeros_like(r), r + 0.0,
+    new = (xs_best + 0.0, r, jnp.zeros_like(r), _jitter_rhat(r, jitter),
            ones_b, jnp.zeros((B,), bs_l.dtype), ones_b)
     return _mr_blend(state_old, new, mask_d)
 
@@ -1831,6 +1849,7 @@ def solve_shifted_chunked_multi(
     max_restarts: int = 2,
     algorithm: str = "bicgstab",
     stats: dict | None = None,
+    max_diverge_restarts: int = 2,
 ):
     """`solve_shifted_multi` with the lockstep batched Krylov loop split
     into host-controlled fori_loop chunks — the batched analogue of
@@ -1941,19 +1960,22 @@ def solve_shifted_chunked_multi(
     best_xs = jnp.zeros_like(bs)
     best_rn2 = dot(bs, bs)  # residual at x0 = 0 is b
     restarts = 0
+    div_restarts = 0
 
-    def do_restart(mask):
+    def do_restart(mask, jitter: int = 0, count: bool = True):
         nonlocal state, restarts, window_rn2, pass_rn2
-        restarts += 1
+        if count:
+            restarts += 1
         mask_d = jnp.asarray(mask)
         if algorithm == "bicgstab":
             state = _mr_restart_members(a_coeffs, state, best_xs, bs,
-                                        mask_d, topology, interpret)
+                                        mask_d, topology, interpret,
+                                        jitter)
         else:
             state = _mr_restart_members2(a_coeffs, m_coeffs, shifted_diag,
                                          state, best_xs, bs, mask_d,
                                          topology, preconditioner,
-                                         interpret)
+                                         interpret, jitter)
         window_rn2 = np.where(mask, np.inf, window_rn2)
         pass_rn2 = np.where(mask, np.asarray(best_rn2), pass_rn2)
 
@@ -1986,16 +2008,22 @@ def solve_shifted_chunked_multi(
         active = ~(rn2 <= atol2)  # NaN counts as active
         # In-pass divergence exit, per member (see
         # solve_shifted_chunked): recurrence above 4x pass-start or NaN.
+        # Divergence restarts have their OWN budget (independent of the
+        # stall budget, which refinement callers set to 0), and each
+        # retry perturbs the shadow vector — a diverged member restarted
+        # verbatim replays the identical blow-up (see _jitter_rhat).
         diverged = active & ~(rn2 <= 16.0 * pass_rn2)
         if bool(diverged.any()):
-            if restarts < max_restarts:
+            if div_restarts < max_diverge_restarts:
+                div_restarts += 1
                 if verbose:
                     import sys as _sys
 
                     print(f"#   chunked-multi iter {iters}: members "
                           f"{np.flatnonzero(diverged).tolist()} diverged;"
-                          f" restart {restarts + 1}", file=_sys.stderr)
-                do_restart(diverged)
+                          f" jittered restart {div_restarts}",
+                          file=_sys.stderr)
+                do_restart(diverged, jitter=div_restarts, count=False)
                 continue
             if bool((diverged | ~active).all()):
                 stop = "diverged"
@@ -2032,6 +2060,7 @@ def solve_shifted_chunked_multi(
         best_np = np.asarray(best_rn2)
         stats.update(
             iters=iters, restarts=restarts, stop=stop,
+            diverge_restarts=div_restarts,
             start_rel=1.0,
             end_rel=float(np.sqrt((best_np / bn2_safe).max())),
         )

@@ -1187,3 +1187,59 @@ def test_ir_dynamic_pass_tolerance(ops, gridmetrics, indices, monkeypatch):
     # a synthetic near-converged pass widens: at rel_start 2e-9 the
     # formula hands the inner solve a 0.25 tolerance, not inner_tol
     assert min(0.9, max(1e-4, 0.5 * tol / 2e-9)) == pytest.approx(0.25)
+
+
+def test_multi_diverge_restarts_jittered(ops, gridmetrics, indices):
+    """Batched analogue of the deterministic-blow-up trap: a diverged
+    member in the chunked multi engine gets jittered divergence
+    restarts from its OWN budget even when max_restarts=0 (the
+    refinement/fixed-iteration configuration), and non-diverging
+    members pass through the restart untouched. Same raw f32 age
+    system that NaNs BiCGStab(1) in its first chunk, batched with a
+    benign all-ones member."""
+    from otmb_tpu.grid.geometry import makegridmetrics
+    from otmb_tpu.grid.indices import makeindices
+    from otmb_tpu.models.solvers import solve_shifted_chunked_multi
+    from otmb_tpu.models.transport import transportmatrix
+    from otmb_tpu.ops.fluxes import facefluxesfrommasstransport
+    from otmb_tpu.utils.synthetic import synthetic_dataset
+
+    ds = synthetic_dataset(nx=24, ny=16, nz=8, topology="tripolar",
+                           seed=42)
+    gm = makegridmetrics(
+        areacello=ds.areacello, volcello=ds.volcello, lon=ds.lon,
+        lat=ds.lat, lev=ds.lev, lon_vertices=ds.lon_vertices,
+        lat_vertices=ds.lat_vertices,
+    )
+    idx = makeindices(gm.v3d)
+    phi = facefluxesfrommasstransport(
+        umo=ds.umo, vmo=ds.vmo, gridmetrics=gm, indices=idx,
+    )
+    tops = transportmatrix(phi=phi, mlotst=ds.mlotst, gridmetrics=gm,
+                           indices=idx)
+    topo = gm.topology
+    wet = np.asarray(idx.wet3d)
+    c32 = jax.tree_util.tree_map(lambda a: a.astype(np.float32), tops.T)
+    ones = np.where(wet, np.float32(1.0), np.float32(0.0))
+    surf = np.zeros(gm.shape, np.float32)
+    surf[0] = 1.0
+    surf = np.where(wet, surf, 0.0).astype(np.float32)
+    bs = np.stack([ones, 0.5 * ones])
+    stats = {}
+    _, res = solve_shifted_chunked_multi(
+        c32, bs, topo, extra_diag=surf, tol=1e-6,
+        algorithm="bicgstab", max_restarts=0, max_diverge_restarts=2,
+        stats=stats,
+    )
+    assert stats["diverge_restarts"] >= 1  # the jittered retries fired
+    # best-iterate protection: no member returns worse than x0
+    assert np.asarray(res).max() <= 1.0 + 1e-5
+    # with the budget off, the exit is immediate (old behavior)
+    st0 = {}
+    solve_shifted_chunked_multi(
+        c32, bs, topo, extra_diag=surf, tol=1e-6,
+        algorithm="bicgstab", max_restarts=0, max_diverge_restarts=0,
+        stats=st0,
+    )
+    assert st0["diverge_restarts"] == 0
+    assert st0["iters"] <= stats["iters"]
