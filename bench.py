@@ -104,7 +104,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(_Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Persist EVERYTHING, including sub-2s programs: each remote-compile
+    # round trip through a loaded relay can queue for ~15-25 s
+    # regardless of the program's own compile time, and the solve phase
+    # dispatches ~8 small one-off programs — measured as a recurring
+    # 140-173 s stall at the solve's first device sync while the
+    # (cached) chunk programs ran at a rock-stable 1.55 s throughout.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     if args.workload == "idealage":
         # f64 defect correction needs x64 in-process (TPU emulates f64).
@@ -175,6 +181,10 @@ def main():
                 rev = " [reverted]" if p.get("reverted") else ""
                 print(f"#   {label} pass {i}: defect rel "
                       f"{p['rel_start']:.2e}{rev}{extra}", file=sys.stderr)
+            if st.get("final_defect_s") is not None:
+                print(f"#   {label} final defect eval "
+                      f"{st['final_defect_s']:.1f} s, tail "
+                      f"{st.get('tail_s', 0):.1f} s", file=sys.stderr)
 
         if args.scale == "quarter":
             # One COLD solve including compile, matching the in-bench

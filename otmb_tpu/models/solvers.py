@@ -449,7 +449,14 @@ def solve_shifted_ir(
                else jnp.asarray(extra_diag))
     shift_wide = jnp.asarray(shift, wide)
 
-    bnorm = jnp.linalg.norm(b_n.astype(wide))
+    # ||b|| in narrow precision (never below f32), promoted as a SCALAR:
+    # the wide norm of the full grid vector is an emulated-f64 reduction
+    # at blocked scale, and bnorm only ever normalizes reported
+    # residuals — a ~1e-7 relative rounding in the denominator shifts
+    # every rel multiplicatively by the same factor, which affects no
+    # convergence decision (tol comparisons are against the same
+    # normalization throughout).
+    bnorm = jnp.linalg.norm(b_n.astype(narrow_vec)).astype(wide)
     bnorm_safe = jnp.where(bnorm == 0, 1.0, bnorm)
 
     # At grid sizes where the Pallas matvec is j-blocked on a real TPU,
@@ -548,6 +555,10 @@ def solve_shifted_ir(
             best_x = (x.astype(narrow_vec) if x.dtype != narrow_vec
                       else x + 0.0)
         if relf <= tol:
+            if stats is not None:
+                # the converging defect eval creates no pass entry;
+                # record its wall separately so artifacts add up
+                stats["final_defect_s"] = _time.perf_counter() - _t_pass
             break
         if best_x is not None and relf > 4.0 * best_rel:
             # the last pass diverged; refine from the best iterate, not
@@ -692,7 +703,14 @@ def solve_shifted_ir(
         if float(rel_cand) < float(rel):
             x, rel = x_cand, rel_cand
     if stats is not None:
-        stats.update(refinements=len(pass_log), rel_final=float(rel))
+        # Sync the result so everything this solve dispatched is
+        # attributed HERE rather than at the caller's first use — the
+        # ~1 extra ms of eagerness buys artifacts whose pass/tail
+        # times add up to the caller's wall clock.
+        _t_tail = _time.perf_counter()
+        x = jax.block_until_ready(x)
+        stats.update(refinements=len(pass_log), rel_final=float(rel),
+                     tail_s=_time.perf_counter() - _t_tail)
     return x, rel
 
 
