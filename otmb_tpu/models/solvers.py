@@ -1316,10 +1316,14 @@ def _jitter_rhat(r, jitter):
     while preserving land zeros and the overlap with r."""
     if jitter == 0:
         return r + 0.0
-    # alternate along k: dim 0 for (nz, ny, nx), dim 1 for batched
-    # (B, nz, ny, nx) fields
-    k_dim = r.ndim - 3
-    sign = (jax.lax.broadcasted_iota(jnp.int32, r.shape, k_dim) % 2) * 2 - 1
+    # Cycle the modulation axis per retry ordinal — k, then j, then i
+    # (offset by r.ndim - 3 so batched (B, nz, ny, nx) fields modulate
+    # their grid axes, never the batch axis): retries whose
+    # perturbations differ only in amplitude along the SAME axis can
+    # re-excite the same breakdown; a different axis changes the
+    # perturbation's structure, not just its size.
+    axis = (r.ndim - 3) + (jitter - 1) % 3
+    sign = (jax.lax.broadcasted_iota(jnp.int32, r.shape, axis) % 2) * 2 - 1
     return r * (1.0 + jnp.asarray(0.1 * jitter, r.dtype)
                 * sign.astype(r.dtype))
 
@@ -1515,6 +1519,8 @@ def solve_shifted_chunked(
     best_rn2 = float(jnp.vdot(b, b).real)  # residual at x0 = 0 is b
     restarts = 0
     div_restarts = 0
+    div_streak = 0
+    diverge_exit_alive = True
     # Residual-norm^2 at the start of the current Krylov pass (a fresh
     # start or the last restart) — the reference point for the in-pass
     # divergence exit.
@@ -1523,8 +1529,9 @@ def solve_shifted_chunked(
     stop = "maxiter"
 
     def do_restart(jitter: int = 0):
-        nonlocal state, restarts, window_rn2, pass_rn2
+        nonlocal state, restarts, window_rn2, pass_rn2, div_streak
         restarts += 1
+        div_streak = 0
         state = None  # free the grid vectors before rebuilding
         if algorithm == "bicgstab":
             state = _sr_restart1(a_coeffs, best_x, b, topology, interpret,
@@ -1578,13 +1585,20 @@ def solve_shifted_chunked(
             stop = "converged"
             break
         # In-pass DIVERGENCE exit: recurrence residual above 4x its
-        # pass-start value (or NaN from an omega-breakdown blow-up)
-        # means this Krylov space is lost — restart immediately from the
-        # best iterate while budget remains, else hand the best iterate
-        # back to the caller NOW instead of burning the remaining
-        # budget on a diverging recurrence (round-4 artifacts: whole
-        # 600-iteration passes ended above their starting residual).
+        # pass-start value for TWO CONSECUTIVE chunk boundaries (or NaN)
+        # means this Krylov space is likely lost. The persistence
+        # requirement matters: BiCGStab(2) trajectories on the advective
+        # defect systems routinely spike past 4x and then recover to
+        # useful contractions (round-4 artifacts: passes that blew up
+        # mid-pass still delivered 37x contractions at later chunk
+        # boundaries) — a single-boundary exit aborted exactly those
+        # passes and floored the in-bench 0.25-degree solve at 3.5e-3.
         if not rn2 <= 16.0 * pass_rn2:  # NaN-safe: NaN -> diverged
+            div_streak = div_streak + 1 if rn2 == rn2 else 2  # NaN: now
+        else:
+            div_streak = 0
+        if div_streak >= 2 and diverge_exit_alive:
+            div_streak = 0
             # Divergence restarts have their OWN budget (independent of
             # the stall budget, which refinement callers set to 0): a
             # blow-up replayed from the same state is deterministic, so
@@ -1601,8 +1615,18 @@ def solve_shifted_chunked(
                           file=_sys.stderr)
                 do_restart(jitter=div_restarts)
                 continue
-            stop = "diverged"
-            break
+            if best_rn2 < pass_rn2 or rn2 != rn2:
+                # progress exists worth protecting (hand the best
+                # iterate back instead of risking it on a lost space) —
+                # or the recurrence is NaN, which never recovers
+                stop = "diverged"
+                break
+            # No progress at all, finite recurrence, jitter budget
+            # spent: the exit has nothing to protect. Fall back to
+            # letting the recurrence run (round-4 semantics) — blow-up-
+            # then-recover trajectories reach useful contractions, and
+            # the stall window / maxiter still bound the waste.
+            diverge_exit_alive = False
         # f32-floor detection on CUMULATIVE progress: a slowly-but-
         # genuinely converging solve shrinks the residual a little every
         # chunk, which a per-chunk threshold would misread as stagnation.
@@ -1979,11 +2003,14 @@ def solve_shifted_chunked_multi(
     best_rn2 = dot(bs, bs)  # residual at x0 = 0 is b
     restarts = 0
     div_restarts = 0
+    div_streak_m = np.zeros((B,), np.int64)
+    diverge_exit_alive = True
 
     def do_restart(mask, jitter: int = 0, count: bool = True):
-        nonlocal state, restarts, window_rn2, pass_rn2
+        nonlocal state, restarts, window_rn2, pass_rn2, div_streak_m
         if count:
             restarts += 1
+        div_streak_m = np.where(mask, 0, div_streak_m)
         mask_d = jnp.asarray(mask)
         if algorithm == "bicgstab":
             state = _mr_restart_members(a_coeffs, state, best_xs, bs,
@@ -2025,13 +2052,21 @@ def solve_shifted_chunked_multi(
             break
         active = ~(rn2 <= atol2)  # NaN counts as active
         # In-pass divergence exit, per member (see
-        # solve_shifted_chunked): recurrence above 4x pass-start or NaN.
-        # Divergence restarts have their OWN budget (independent of the
-        # stall budget, which refinement callers set to 0), and each
-        # retry perturbs the shadow vector — a diverged member restarted
-        # verbatim replays the identical blow-up (see _jitter_rhat).
-        diverged = active & ~(rn2 <= 16.0 * pass_rn2)
-        if bool(diverged.any()):
+        # solve_shifted_chunked): recurrence above 4x pass-start for TWO
+        # CONSECUTIVE chunk boundaries (NaN: immediately). Persistence
+        # matters — single-boundary exits aborted blow-up-then-recover
+        # trajectories that deliver useful contractions (see the
+        # single-RHS engine's comment). Divergence restarts have their
+        # OWN budget (independent of the stall budget, which refinement
+        # callers set to 0), and each retry perturbs the shadow vector —
+        # a diverged member restarted verbatim replays the identical
+        # blow-up (see _jitter_rhat).
+        over = active & ~(rn2 <= 16.0 * pass_rn2)
+        div_streak_m = np.where(over, div_streak_m + 1, 0)
+        div_streak_m = np.where(rn2 != rn2, 2, div_streak_m)  # NaN: now
+        diverged = div_streak_m >= 2
+        if diverge_exit_alive and bool(diverged.any()):
+            div_streak_m = np.where(diverged, 0, div_streak_m)
             if div_restarts < max_diverge_restarts:
                 div_restarts += 1
                 if verbose:
@@ -2043,7 +2078,17 @@ def solve_shifted_chunked_multi(
                           file=_sys.stderr)
                 do_restart(diverged, jitter=div_restarts, count=False)
                 continue
-            if bool((diverged | ~active).all()):
+            no_prog = diverged & ~(np.asarray(best_rn2) < pass_rn2)
+            if bool((no_prog & (rn2 == rn2)).any()):
+                # a diverged member with NO progress to protect, a
+                # finite recurrence, and a spent jitter budget: the exit
+                # would return x0 for it. Disable the divergence exits
+                # and let the recurrences run (round-4 semantics); stall
+                # window/maxiter bound the waste and best-iterate
+                # tracking protects the rest. (NaN members are excluded:
+                # a NaN recurrence never recovers.)
+                diverge_exit_alive = False
+            elif bool((diverged | ~active).all()):
                 stop = "diverged"
                 break
             # some members still converging: let them finish; the
